@@ -1,0 +1,33 @@
+"""Test configuration: run the suite on a virtual 8-device CPU mesh.
+
+The reference has no tests at all (SURVEY.md §4); we build the pyramid here.
+Multi-device behavior is tested without hardware by forcing the host platform
+to expose 8 virtual CPU devices, per the standard JAX testing recipe.
+"""
+
+import os
+
+# Must run before jax is imported anywhere.
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def devices():
+    return jax.devices()
+
+
+def pytest_collection_modifyitems(config, items):
+    on_tpu = jax.default_backend() == "tpu"
+    skip_tpu = pytest.mark.skip(reason="requires real TPU hardware")
+    for item in items:
+        if "tpu" in item.keywords and not on_tpu:
+            item.add_marker(skip_tpu)
