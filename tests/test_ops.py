@@ -130,14 +130,20 @@ def test_gen_flow_jnp_matches_numpy(k, b):
 
 
 def test_gen_flow_structure():
-    """flow2 is zero beyond fold_width and opposite-signed inside."""
     h = w = 96
-    flow, flow2, mask = gen_flow_np(h, w, 0.5, 20.0, line_width=5, fold_width=20, dis_k=0.1)
+    k, b, lw, fw, dk = 0.5, 20.0, 5, 20, 0.1
+    flow, flow2, mask = gen_flow_np(h, w, k, b, line_width=lw, fold_width=fw, dis_k=dk)
+    assert np.all(np.isfinite(flow)) and np.all(np.isfinite(flow2))
     # Mask zeros exactly the |distance| <= line_width strip
-    assert mask.min() == 0 and mask.max() == 1
-    # Far from the fold everything is (near) zero displacement
-    assert np.abs(flow[0, -1]).max() < 1e-3 or np.abs(flow).max() > 0
-    mag2 = np.linalg.norm(flow2, axis=-1)
-    # flow2 vanishes far away from the line (profile clamped at 0)
-    far = mag2[mask == 1]
-    assert (far == 0).sum() > far.size // 4
+    gx, gy = np.meshgrid(np.arange(w), np.arange(h))
+    dis = (k * gx - gy + b) / np.sqrt(k**2 + 1)
+    np.testing.assert_array_equal(mask, (np.abs(dis) > lw).astype(np.float32))
+    # Inside the line strip the displacement magnitude equals |distance|
+    # (mask_dis = 0 there, so the raw distance passes through).
+    mag = np.linalg.norm(flow, axis=-1)
+    strip = np.abs(dis) < lw
+    np.testing.assert_allclose(mag[strip], np.abs(dis)[strip], rtol=1e-4)
+    # flow and flow2 displace in opposite directions where both are active
+    mid = (np.abs(dis) > lw) & (np.abs(dis) < fw)
+    dots = (flow[..., 0] * flow2[..., 0] + flow[..., 1] * flow2[..., 1])[mid]
+    assert np.all(dots <= 1e-6)
