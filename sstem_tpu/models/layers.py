@@ -1,0 +1,165 @@
+"""Torch-parity neural net building blocks (flax.linen, NHWC).
+
+The reference models rely on specific PyTorch layer semantics; each has an
+exact JAX equivalent here:
+  * Conv2d(k=3, s=1, p=1) -> nn.Conv with explicit ((1,1),(1,1)) padding.
+  * ConvTranspose2d(k=3, s=2, p=1, output_padding=1) -> input-dilated conv
+    with spatially flipped kernel and ((1,2),(1,2)) padding (exactly doubles
+    the spatial size, as in the reference decoders).
+  * BatchNorm2d -> nn.BatchNorm(momentum=0.9, eps=1e-5) (torch momentum 0.1).
+  * MaxPool2d/AvgPool2d(2,2) -> nn.max_pool/avg_pool.
+  * weight inits: torch-default kaiming-uniform(a=sqrt(5)) + bias bound,
+    orthogonal(gain=sqrt(2)) (IFNet, model_interp.py:145-149), and
+    normal(0, 0.02) (FusionNet, model_fusionnet.py:107-113).
+"""
+
+import math
+from typing import Any, Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+from jax import lax
+
+from sstem_tpu.config import matmul_precision
+
+
+# ---------------------------------------------------------------------------
+# Initializers
+# ---------------------------------------------------------------------------
+
+def torch_conv_kernel_init(key, shape, dtype=jnp.float32):
+    """PyTorch Conv2d default: kaiming_uniform(a=sqrt(5)).
+
+    flax kernel shape is (kh, kw, in, out); fan_in = kh*kw*in.
+    """
+    fan_in = shape[0] * shape[1] * shape[2]
+    gain = math.sqrt(2.0 / (1 + 5.0))  # a = sqrt(5)
+    bound = gain * math.sqrt(3.0 / fan_in)
+    return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+
+def torch_conv_bias_init(fan_in: int):
+    bound = 1.0 / math.sqrt(fan_in) if fan_in > 0 else 0.0
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def orthogonal_relu_gain_init():
+    """torch init.orthogonal_(w, gain=calculate_gain('relu')) == sqrt(2)."""
+    return nn.initializers.orthogonal(scale=math.sqrt(2.0), column_axis=-1)
+
+
+def normal_002_init():
+    """FusionNet conv init: normal(0, 0.02)."""
+    return nn.initializers.normal(stddev=0.02)
+
+
+def bn_scale_normal_init(key, shape, dtype=jnp.float32):
+    """FusionNet BN weight init: normal(1.0, 0.02)."""
+    return 1.0 + 0.02 * jax.random.normal(key, shape, dtype)
+
+
+# ---------------------------------------------------------------------------
+# Layers
+# ---------------------------------------------------------------------------
+
+class Conv2dTorch(nn.Module):
+    """Conv2d with torch-style explicit padding and default torch init."""
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 1
+    padding: int = 1
+    use_bias: bool = True
+    kernel_init: Callable = torch_conv_kernel_init
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        fan_in = k * k * x.shape[-1]
+        return nn.Conv(
+            self.features,
+            (k, k),
+            strides=(self.stride, self.stride),
+            padding=[(self.padding, self.padding)] * 2,
+            use_bias=self.use_bias,
+            kernel_init=self.kernel_init,
+            bias_init=torch_conv_bias_init(fan_in),
+            precision=matmul_precision(),
+        )(x)
+
+
+class ConvTranspose2dTorch(nn.Module):
+    """ConvTranspose2d(kernel=3, stride=2, padding=1, output_padding=1).
+
+    Weight is stored flax-style (kh, kw, out, in) and applied as an
+    input-dilated convolution with the kernel spatially flipped — the exact
+    adjoint of the strided conv, matching torch semantics (out = 2 * in).
+    """
+
+    features: int
+    kernel_size: int = 3
+    stride: int = 2
+    padding: int = 1
+    output_padding: int = 1
+    kernel_init: Callable = None
+
+    @nn.compact
+    def __call__(self, x):
+        k, s, p, op = self.kernel_size, self.stride, self.padding, self.output_padding
+        in_ch = x.shape[-1]
+        # torch fan_in for ConvTranspose2d weight (in, out, kh, kw) is
+        # out * kh * kw / groups ... torch uses weight.size(1)*k*k = out*k*k
+        fan_in = self.features * k * k
+        kinit = self.kernel_init
+        if kinit is None:
+            def kinit(key, shape, dtype=jnp.float32):
+                gain = math.sqrt(2.0 / 6.0)
+                bound = gain * math.sqrt(3.0 / fan_in)
+                return jax.random.uniform(key, shape, dtype, -bound, bound)
+        w = self.param("kernel", kinit, (k, k, self.features, in_ch))
+        b = self.param("bias", torch_conv_bias_init(fan_in), (self.features,))
+        lo = k - 1 - p
+        hi = k - 1 - p + op
+        y = lax.conv_general_dilated(
+            x,
+            jnp.flip(w, axis=(0, 1)),
+            window_strides=(1, 1),
+            padding=((lo, hi), (lo, hi)),
+            lhs_dilation=(s, s),
+            dimension_numbers=("NHWC", "HWOI", "NHWC"),
+            precision=matmul_precision(),
+        )
+        return y + b
+
+
+class BatchNorm2dTorch(nn.Module):
+    """BatchNorm2d parity: momentum 0.1 (torch) == flax momentum 0.9, eps 1e-5."""
+
+    scale_init: Callable = nn.initializers.ones
+
+    @nn.compact
+    def __call__(self, x, train: bool):
+        return nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            scale_init=self.scale_init,
+        )(x)
+
+
+def max_pool_2x2(x):
+    return nn.max_pool(x, (2, 2), strides=(2, 2))
+
+
+def avg_pool_2x2(x):
+    return nn.avg_pool(x, (2, 2), strides=(2, 2))
+
+
+def leaky_relu_02(x):
+    return nn.leaky_relu(x, negative_slope=0.2)

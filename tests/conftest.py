@@ -17,6 +17,10 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# Persistent compilation cache: repeat pytest runs skip recompiles.
+jax.config.update("jax_compilation_cache_dir", "/tmp/sstem_tpu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import pytest  # noqa: E402
 
 
