@@ -1,0 +1,185 @@
+"""SFF fusion trainer — reference ``main_fusion.py`` (SFF) parity:
+
+A frozen flow FusionNet (loaded from cfg.TRAIN.flownet_path/flownet_id)
+predicts the unfolding flow; the degraded channels are backward-warped with
+the zero-border spatial transform; the fusion U-Net is trained with L1 (or
+perceptual) loss against the clean section (main_fusion.py:213-260). The
+flow + warp + U-Net composition runs inside ONE jitted step — no host
+round-trips between stages.
+"""
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sstem_tpu import losses
+from sstem_tpu.cli import _sff, common
+from sstem_tpu.cli.train_interp import aug_from_cfg
+from sstem_tpu.compat.config import load_sff_config
+from sstem_tpu.data.providers import FusionTrainDataset, FusionValidDataset, Provider
+from sstem_tpu.models import FusionNet, UNetSFF
+from sstem_tpu.ops import spatial_transform
+from sstem_tpu.parallel.mesh import make_mesh
+from sstem_tpu.train.checkpoint import restore_checkpoint
+from sstem_tpu.train.loop import run_training, save_collage, to_uint8
+from sstem_tpu.train.trainer import TrainState, make_optimizer, make_train_step
+
+
+def compose_forward(flow_model, flow_vars, unet, unet_vars, inputs,
+                    train=False, mutable=False, flow_train_mode=None):
+    """Frozen flow -> warp degraded channels -> fusion U-Net.
+
+    flow_train_mode: the reference never calls .eval() on the frozen flow net
+    in the trainer, so its BatchNorms normalize with *batch* statistics there
+    (torch still does that under no_grad); inference uses eval mode. Defaults
+    to following ``train``.
+    """
+    if flow_train_mode is None:
+        flow_train_mode = train
+    if flow_train_mode:
+        flow, _ = flow_model.apply(flow_vars, inputs, train=True,
+                                   mutable=["batch_stats"])
+    else:
+        flow = flow_model.apply(flow_vars, inputs, train=False)
+    flow = jax.lax.stop_gradient(flow)
+    warped = spatial_transform(inputs[..., 0:3], flow)
+    fused_in = jnp.concatenate([warped, inputs[..., 3:6]], axis=-1)
+    if mutable:
+        return unet.apply(unet_vars, fused_in, train=train,
+                          mutable=["batch_stats"])
+    return unet.apply(unet_vars, fused_in, train=train)
+
+
+def build(cfg, flow_vars, data_parallel=True):
+    tr = cfg.TRAIN
+    flow_model = FusionNet(output_nc=2, ngf=tr.ngf)
+    unet = UNetSFF(out_channel=tr.output_nc)
+    schedule = _sff.make_schedule(tr)
+    opt = make_optimizer(schedule, weight_decay=tr.weight_decay)
+
+    def loss_fn(params, batch_stats, batch):
+        inputs, target = batch
+        pred, mut = compose_forward(
+            flow_model, flow_vars, unet,
+            {"params": params, "batch_stats": batch_stats},
+            inputs, train=True, mutable=True,
+        )
+        return losses.l1_loss(pred, target), ({}, mut["batch_stats"])
+
+    mesh = None
+    n_dev = jax.device_count()
+    if data_parallel and n_dev > 1 and tr.batch_size % n_dev == 0:
+        mesh = make_mesh(n_data=n_dev)
+
+    train_step = make_train_step(loss_fn, opt, has_batch_stats=True, mesh=mesh)
+
+    def eval_fn(unet_vars, x):
+        return compose_forward(flow_model, flow_vars, unet, unet_vars, x,
+                               train=False)
+
+    return unet, flow_model, opt, train_step, jax.jit(eval_fn), schedule, mesh
+
+
+def load_flow_variables(path):
+    """Load flow-net variables from an orbax ckpt dir or a torch .ckpt file."""
+    if os.path.isdir(path):
+        import orbax.checkpoint as ocp
+
+        ck = ocp.StandardCheckpointer().restore(os.path.abspath(path))
+        mw = ck["model_weights"]
+        return {"params": mw["params"], "batch_stats": mw["batch_stats"]}
+    from sstem_tpu.compat.torch_ckpt import load_torch_fusionnet
+
+    return load_torch_fusionnet(path)
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-c", "--cfg", type=str,
+                        default="sff_fusion_L1_lr0001decay")
+    parser.add_argument("-m", "--mode", type=str, default="train")
+    parser.add_argument("--config-dir", type=str, default="./config")
+    parser.add_argument("--max-iters", type=int, default=None)
+    args = parser.parse_args(argv)
+
+    cfg = load_sff_config(args.cfg, args.config_dir)
+    tr = cfg.TRAIN
+    exp_name, paths, logger, writer = common.init_project(
+        cfg.NAME, tr.cache_path, tr.save_path
+    )
+    rng = common.seed_everything(tr.random_seed)
+
+    flow_vars = load_flow_variables(
+        os.path.join(tr.flownet_path, tr.flownet_id)
+    )
+    unet, flow_model, opt, train_step, eval_fn, schedule, mesh = build(
+        cfg, flow_vars
+    )
+
+    ds = FusionTrainDataset(
+        cfg.DATA.folder_name, cfg.DATA.train_txt, cfg.DATA.interp_train_txt,
+        crop_size=cfg.DATA.patch_size[0], det_size=256,
+        gt_line=cfg.DATA.get("gt_line", False), aug=aug_from_cfg(cfg.DATA),
+    )
+    provider = Provider(ds, tr.batch_size, seed=tr.random_seed)
+    valid_ds = None
+    if tr.if_valid and cfg.DATA.get("valid_txt"):
+        try:
+            valid_ds = FusionValidDataset(cfg.DATA.folder_name,
+                                          cfg.DATA.valid_txt)
+        except FileNotFoundError:
+            logger.warning("valid list missing; validation disabled")
+
+    sample_in = jnp.zeros((1, 256, 256, 6), jnp.float32)
+    variables = jax.jit(lambda k, x: unet.init(k, x, train=True))(
+        jax.random.PRNGKey(int(rng.integers(1 << 30))), sample_in
+    )
+    state = TrainState.create(variables["params"], opt,
+                              batch_stats=variables["batch_stats"])
+
+    start_iter = 0
+    if tr.resume:
+        ck = restore_checkpoint(paths["save_path"], tr.get("model_id"))
+        if ck is not None:
+            mw = ck["model_weights"]
+            state = state.replace(params=mw["params"],
+                                  batch_stats=mw.get("batch_stats"))
+            start_iter = int(ck["current_iter"])
+
+    def valid_fn(st, iters):
+        if valid_ds is None:
+            return 0.0, "psnr"
+        v = {"params": st.params, "batch_stats": st.batch_stats}
+        return _sff.psnr_valid_loop(eval_fn, v, valid_ds,
+                                    paths["valid_path"], iters), "psnr"
+
+    def preview_fn(st, batch, iters):
+        inputs, target = jax.device_get(batch)
+        v = {"params": st.params, "batch_stats": st.batch_stats}
+        pred = np.asarray(eval_fn(v, inputs[:1]))[0]
+        save_collage(
+            os.path.join(paths["cache_path"], "%06d.png" % iters),
+            [
+                [to_uint8(inputs[0, :, :, 0]), to_uint8(inputs[0, :, :, 3])],
+                [to_uint8(np.squeeze(pred)), to_uint8(np.squeeze(target[0]))],
+            ],
+        )
+
+    total = args.max_iters or tr.total_iters
+    run_training(
+        provider=provider, train_step=train_step, state=state,
+        total_iters=total, cache_path=paths["cache_path"],
+        save_path=paths["save_path"], valid_path=paths["valid_path"],
+        display_freq=tr.display_freq, valid_freq=tr.valid_freq,
+        save_freq=tr.save_freq, valid_fn=valid_fn,
+        preview_fn=preview_fn, writer=writer, logger=logger,
+        start_iter=start_iter, schedule=schedule,
+    )
+    provider.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,140 @@
+"""SFF correction (unfolding) trainer — reference ``main_flowfusionnet.py``
+parity: FusionNet on (degraded ++ interp) -> 2-ch unfolding flow, L1 loss on
+flow, EPE validation with a warped preview.
+"""
+
+import argparse
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sstem_tpu import losses
+from sstem_tpu.cli import _sff, common
+from sstem_tpu.cli.train_interp import aug_from_cfg
+from sstem_tpu.compat.config import load_sff_config
+from sstem_tpu.data.providers import Provider, UnfoldingTrainDataset, UnfoldingValidDataset
+from sstem_tpu.models import FusionNet
+from sstem_tpu.ops import spatial_transform
+from sstem_tpu.parallel.mesh import make_mesh
+from sstem_tpu.train.checkpoint import restore_checkpoint
+from sstem_tpu.train.loop import run_training, save_collage, to_uint8
+from sstem_tpu.train.trainer import TrainState, make_optimizer, make_train_step
+
+
+def build(cfg, data_parallel=True):
+    tr = cfg.TRAIN
+    model = FusionNet(output_nc=tr.output_nc, ngf=tr.ngf)
+    schedule = _sff.make_schedule(tr)
+    opt = make_optimizer(schedule, weight_decay=tr.weight_decay)
+
+    def loss_fn(params, batch_stats, batch):
+        inputs, target = batch
+        pred, mut = model.apply(
+            {"params": params, "batch_stats": batch_stats}, inputs,
+            train=True, mutable=["batch_stats"],
+        )
+        return losses.l1_loss(pred, target), ({}, mut["batch_stats"])
+
+    mesh = None
+    n_dev = jax.device_count()
+    if data_parallel and n_dev > 1 and tr.batch_size % n_dev == 0:
+        mesh = make_mesh(n_data=n_dev)
+
+    train_step = make_train_step(loss_fn, opt, has_batch_stats=True, mesh=mesh)
+
+    def eval_fn(variables, x):
+        return model.apply(variables, x, train=False)
+
+    return model, opt, train_step, jax.jit(eval_fn), schedule, mesh
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument("-c", "--cfg", type=str,
+                        default="sff_flowfusionnet_L1_lr0001decay")
+    parser.add_argument("-m", "--mode", type=str, default="train")
+    parser.add_argument("--config-dir", type=str, default="./config")
+    parser.add_argument("--max-iters", type=int, default=None)
+    args = parser.parse_args(argv)
+
+    cfg = load_sff_config(args.cfg, args.config_dir)
+    tr = cfg.TRAIN
+    exp_name, paths, logger, writer = common.init_project(
+        cfg.NAME, tr.cache_path, tr.save_path
+    )
+    rng = common.seed_everything(tr.random_seed)
+
+    model, opt, train_step, eval_fn, schedule, mesh = build(cfg)
+
+    ds = UnfoldingTrainDataset(
+        cfg.DATA.folder_name, cfg.DATA.train_txt, cfg.DATA.interp_train_txt,
+        crop_size=cfg.DATA.patch_size[0], det_size=256, label="flow",
+        line_width_range=(5, 50), gt_line=cfg.DATA.get("gt_line", False),
+        aug=aug_from_cfg(cfg.DATA),
+    )
+    provider = Provider(ds, tr.batch_size, seed=tr.random_seed)
+    valid_ds = None
+    if tr.if_valid and cfg.DATA.get("valid_txt"):
+        try:
+            valid_ds = UnfoldingValidDataset(cfg.DATA.folder_name,
+                                             cfg.DATA.valid_txt)
+        except FileNotFoundError:
+            logger.warning("valid list missing; validation disabled")
+
+    sample_in = jnp.zeros((1, 256, 256, 6), jnp.float32)
+    variables = jax.jit(lambda k, x: model.init(k, x, train=True))(
+        jax.random.PRNGKey(int(rng.integers(1 << 30))), sample_in
+    )
+    state = TrainState.create(variables["params"], opt,
+                              batch_stats=variables["batch_stats"])
+
+    start_iter = 0
+    if tr.resume:
+        ck = restore_checkpoint(paths["save_path"], tr.get("model_id"))
+        if ck is not None:
+            mw = ck["model_weights"]
+            state = state.replace(params=mw["params"],
+                                  batch_stats=mw.get("batch_stats"))
+            start_iter = int(ck["current_iter"])
+
+    def valid_fn(st, iters):
+        if valid_ds is None:
+            return 0.0, "epe"
+        v = {"params": st.params, "batch_stats": st.batch_stats}
+        return _sff.epe_valid_loop(eval_fn, v, valid_ds), "epe"
+
+    def preview_fn(st, batch, iters):
+        inputs, target = jax.device_get(batch)
+        v = {"params": st.params, "batch_stats": st.batch_stats}
+        flow = np.asarray(eval_fn(v, inputs[:1]))
+        # warped preview (main_flowfusionnet.py:295-301)
+        warped = np.asarray(
+            spatial_transform(jnp.asarray(inputs[:1, :, :, 0:1]) * 255.0,
+                              jnp.asarray(flow))
+        )[0, :, :, 0] / 255.0
+        save_collage(
+            os.path.join(paths["cache_path"], "%06d.png" % iters),
+            [
+                [to_uint8(inputs[0, :, :, 0]), to_uint8(inputs[0, :, :, 3])],
+                [to_uint8(warped),
+                 to_uint8(np.linalg.norm(target[0], axis=-1) / 50.0)],
+            ],
+        )
+
+    total = args.max_iters or tr.total_iters
+    run_training(
+        provider=provider, train_step=train_step, state=state,
+        total_iters=total, cache_path=paths["cache_path"],
+        save_path=paths["save_path"], valid_path=paths["valid_path"],
+        display_freq=tr.display_freq, valid_freq=tr.valid_freq,
+        save_freq=tr.save_freq, valid_fn=valid_fn,
+        preview_fn=preview_fn, writer=writer, logger=logger,
+        start_iter=start_iter, schedule=schedule,
+    )
+    provider.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,7 @@
+from sstem_tpu.parallel.mesh import (
+    make_mesh,
+    replicate,
+    shard_batch,
+)
+
+__all__ = ["make_mesh", "replicate", "shard_batch"]

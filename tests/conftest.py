@@ -7,8 +7,12 @@ to expose 8 virtual CPU devices, per the standard JAX testing recipe.
 
 import os
 
-# Must run before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU with 8 virtual devices even when the ambient environment
+# preselects a TPU platform (e.g. a preregistered PJRT plugin): the suite is
+# designed around an 8-virtual-device CPU mesh; TPU-only tests carry the
+# `tpu` marker and are exercised separately on hardware. The config updates
+# below override platform selection even if a site hook already imported jax.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,6 +20,9 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 # Persistent compilation cache: repeat pytest runs skip recompiles.
 jax.config.update("jax_compilation_cache_dir", "/tmp/sstem_tpu_jax_cache")
