@@ -1,0 +1,115 @@
+"""Headline benchmark: full SFF restoration throughput per chip.
+
+Pipeline measured (the BASELINE "full CREMI-A stack" config): for each
+damaged 1250x1250 section — KPN interpolation from z-neighbors (Pallas
+sepconv, K=51), unfolding flow (FusionNet), differentiable warp, fusion
+U-Net, stitching composite — all fused on device via SFFPipeline.
+
+Baseline note: the reference publishes no numbers (BASELINE.md). The
+``REFERENCE_GPU_MPS`` constant is an analytic estimate of the PyTorch
+reference's per-chip throughput on its era GPU: the per-stage timers it
+prints (sff_scripts_fusion/inference.py:194-201) are dominated by the
+CUDA sepconv (2 x 51^2 taps x 3 ch = ~24.4 GFLOP per 1250^2 section, a
+per-thread MAC loop) plus ~0.3 TFLOP of cuDNN convs and three host<->device
+round-trips per section across the three chained processes; ~1 s/section
+(= ~1.6 MP/s) is the generous end of that envelope. vs_baseline is measured
+MP/s divided by this estimate (>= 10 meets the north star).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+
+import numpy as np
+
+REFERENCE_GPU_MPS = 1.6
+
+SECTION = 1250
+N_SECTIONS = 25
+DAMAGED = list(range(1, N_SECTIONS - 1, 2))  # 12 damaged sections
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    import sstem_tpu.config as cfg
+    from sstem_tpu.data.synthetic import synth_stack
+    from sstem_tpu.infer.pipeline import SFFPipeline
+    from sstem_tpu.models import FusionNet, IFNet, UNetSFF
+
+    cfg.set_matmul_precision("default")  # bf16 MXU passes; quality gates run
+    # the parity harness at 'highest' separately (sstem_tpu/config.py)
+
+    key = jax.random.PRNGKey(0)
+    x6 = jnp.zeros((1, 256, 256, 6), jnp.float32)
+    interp_vars = jax.jit(IFNet(51, 1).init)(key, x6)
+    flow_vars = jax.jit(
+        lambda k, x: FusionNet(output_nc=2).init(k, x, train=True)
+    )(key, x6)
+    fusion_vars = jax.jit(
+        lambda k, x: UNetSFF(1).init(k, x, train=True)
+    )(key, x6)
+
+    pipe = SFFPipeline(interp_vars=interp_vars, flow_vars=flow_vars,
+                       fusion_vars=fusion_vars)
+
+    # One fused jit per section batch: interp -> flow -> warp -> fusion ->
+    # stitch, reduced to a checksum on device (bench isolates chip compute
+    # from the host link; the CLI pipelines pull full images instead).
+    from sstem_tpu.infer.pipeline import _gray6, _to01
+    from sstem_tpu.infer.tiles import pad_to_multiple
+    from sstem_tpu.ops import spatial_transform
+
+    def section_restore(iv, fv, uv, prev_img, next_img, degraded):
+        x = _gray6(_to01(prev_img), _to01(next_img))
+        x, (h, w) = pad_to_multiple(x, 32)
+        interp = jnp.clip(pipe.interp_model.apply(iv, x)[..., 0], 0.0, 1.0)
+        x2 = jnp.concatenate(
+            [jnp.repeat(_to01(degraded)[..., None], 3, -1),
+             jnp.repeat(pad_to_multiple(
+                 interp[..., None], 32)[0], 3, -1)], axis=-1)
+        flow = pipe.flow_model.apply(fv, x2, train=False)
+        warped = spatial_transform(x2[..., 0:3], flow)
+        fused_in = jnp.concatenate([warped, x2[..., 3:6]], axis=-1)
+        pred = pipe.fusion_model.apply(uv, fused_in, train=False)
+        w8 = jnp.floor(jnp.clip(jnp.mean(warped, -1), 0, 1) * 255.0)
+        m = (w8 >= 2).astype(jnp.float32)
+        stitch = interp * 255.0 * (1 - m) + w8 * m
+        return jnp.sum(pred) + jnp.sum(stitch)
+
+    restore_jit = jax.jit(section_restore)
+
+    stack = synth_stack(N_SECTIONS, SECTION, SECTION, seed=0)
+    pad = -(-SECTION // 32) * 32 - SECTION
+    stack_p = np.pad(stack, [(0, 0), (0, pad), (0, pad)], mode="edge")
+    dev_stack = jnp.asarray(stack_p)
+
+    def run(ids):
+        acc = 0.0
+        for i in ids:
+            acc += float(restore_jit(
+                interp_vars, flow_vars, fusion_vars,
+                dev_stack[i - 1:i], dev_stack[i + 1:i + 2],
+                dev_stack[i:i + 1],
+            ))
+        return acc
+
+    run(DAMAGED[:1])  # warmup / compile
+    t0 = time.time()
+    run(DAMAGED)
+    dt = time.time() - t0
+
+    mpix = len(DAMAGED) * SECTION * SECTION / 1e6
+    mps = mpix / dt
+    print(json.dumps({
+        "metric": "sff_full_pipeline_throughput",
+        "value": round(mps, 3),
+        "unit": "MP/s/chip",
+        "vs_baseline": round(mps / REFERENCE_GPU_MPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,205 @@
+"""End-to-end restoration pipelines (SFF and SP), fused per-section on device.
+
+The reference chains separate processes through files on disk
+(interp inference -> unfolding/fusion inference, SURVEY §3.2). Here each
+stage composition is ONE jitted function per section — interp, flow, warp,
+fusion and the stitching composite all stay on device; only uint8 images
+cross the host boundary.
+
+Reference semantics preserved (sff_scripts_fusion/inference.py:112-201):
+  * models run in eval mode (running BN stats)
+  * inputs are [degraded x3ch ++ interp x3ch] / 255
+  * warp is the zero-border spatial transform
+  * stitching composite: m = (warped_uint8 >= 2); interp*(1-m) + warped*m
+"""
+
+from dataclasses import dataclass
+from typing import Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from sstem_tpu.models import FusionNet, IFNet, UNetSFF, UNetSP, FusionNetSP
+from sstem_tpu.ops import spatial_transform
+from sstem_tpu.infer.tiles import pad_to_multiple
+
+
+def _to01(img):
+    return jnp.asarray(img, jnp.float32) / 255.0
+
+
+def _gray6(a, b):
+    """Two gray (N, H, W) images -> (N, H, W, 6) replicated-channel input."""
+    return jnp.concatenate(
+        [jnp.repeat(a[..., None], 3, -1), jnp.repeat(b[..., None], 3, -1)],
+        axis=-1,
+    )
+
+
+@dataclass
+class SFFPipeline:
+    """interp (KPN) -> unfolding flow -> warp -> fusion U-Net -> stitch."""
+
+    interp_vars: dict
+    flow_vars: Optional[dict] = None
+    fusion_vars: Optional[dict] = None
+    kernel_size: int = 51
+    ngf: int = 32
+
+    def __post_init__(self):
+        self.interp_model = IFNet(kernel_size=self.kernel_size, n_frames=1)
+        self.flow_model = FusionNet(output_nc=2, ngf=self.ngf)
+        self.fusion_model = UNetSFF(out_channel=1)
+
+        def interp_fn(variables, x):
+            return self.interp_model.apply(variables, x)
+
+        def restore_fn(flow_v, fusion_v, inputs):
+            flow = self.flow_model.apply(flow_v, inputs, train=False)
+            warped = spatial_transform(inputs[..., 0:3], flow)
+            fused_in = jnp.concatenate([warped, inputs[..., 3:6]], axis=-1)
+            pred = self.fusion_model.apply(fusion_v, fused_in, train=False)
+            return pred, flow, warped
+
+        self._interp_fn = jax.jit(interp_fn)
+        self._restore_fn = jax.jit(restore_fn)
+
+    def interpolate(self, prev_imgs, next_imgs):
+        """Interpolate missing sections from gray uint8 neighbors (N, H, W)."""
+        x = _gray6(_to01(prev_imgs), _to01(next_imgs))
+        x, (h, w) = pad_to_multiple(x, 32)
+        pred = self._interp_fn(self.interp_vars, x)[:, :h, :w, 0]
+        return jnp.clip(pred, 0.0, 1.0)
+
+    def restore(self, degraded_imgs, interp_imgs):
+        """Full correction of degraded sections given interp images.
+
+        Args: gray (N, H, W) uint8/float arrays (0..255 / 0..1-scaled x255).
+        Returns dict with 'fused', 'flow', 'warped', 'stitch' (all device
+        arrays; fused/warped/stitch in 0..1).
+        """
+        x = _gray6(_to01(degraded_imgs), _to01(interp_imgs))
+        x, (h, w) = pad_to_multiple(x, 32)
+        pred, flow, warped = self._restore_fn(self.flow_vars,
+                                              self.fusion_vars, x)
+        pred = jnp.clip(pred[:, :h, :w, 0], 0.0, 1.0)
+        flow = flow[:, :h, :w, :]
+        warped_g = jnp.clip(jnp.mean(warped[:, :h, :w, :], axis=-1), 0.0, 1.0)
+        # stitching composite at uint8 scale (inference.py:167-171)
+        w8 = jnp.floor(warped_g * 255.0)
+        m = (w8 >= 2).astype(jnp.float32)
+        stitch = _to01(jnp.asarray(interp_imgs)) * 255.0 * (1 - m) + w8 * m
+        return {
+            "fused": pred,
+            "flow": flow,
+            "warped": warped_g,
+            "stitch": stitch / 255.0,
+        }
+
+    def restore_stack(self, stack, damaged_ids, chunk=1):
+        """Restore damaged sections of a (Z, H, W) uint8 stack.
+
+        Interp inputs are the z-neighbors (k-1, k+1); sections are processed
+        ``chunk`` at a time (one compile; K=51 kernel maps at full-section
+        resolution are HBM-heavy, ~1.3 GB per section). Returns
+        {id: {'interp', 'fused', 'stitch', ...}} with numpy uint8 images.
+        """
+        stack = np.asarray(stack)
+        results = {}
+        for s in range(0, len(damaged_ids), chunk):
+            ids = damaged_ids[s:s + chunk]
+            if len(ids) < chunk and s > 0:
+                ids = damaged_ids[len(damaged_ids) - chunk:]  # keep shape
+            results.update(self._restore_ids(stack, ids))
+        return results
+
+    def _restore_ids(self, stack, damaged_ids):
+        prev_ = np.stack([stack[i - 1] for i in damaged_ids])
+        next_ = np.stack([stack[i + 1] for i in damaged_ids])
+        interp = self.interpolate(jnp.asarray(prev_), jnp.asarray(next_))
+        out = self.restore(
+            jnp.asarray(np.stack([stack[i] for i in damaged_ids])),
+            interp * 255.0,
+        )
+        results = {}
+        for j, i in enumerate(damaged_ids):
+            results[i] = {
+                "interp": np.asarray(
+                    jnp.floor(interp[j] * 255)
+                ).astype(np.uint8),
+                "fused": np.asarray(
+                    jnp.floor(out["fused"][j] * 255)
+                ).astype(np.uint8),
+                "warped": np.asarray(
+                    jnp.floor(out["warped"][j] * 255)
+                ).astype(np.uint8),
+                "stitch": np.asarray(
+                    jnp.floor(out["stitch"][j] * 255)
+                ).astype(np.uint8),
+                "flow": np.asarray(out["flow"][j]),
+            }
+        return results
+
+
+@dataclass
+class SPPipeline:
+    """SP quartet restoration: VFI + denoise + mask blend + fusion
+    (sp_scripts_test/test_fusion.py:17-141)."""
+
+    vfi_vars: dict
+    denoise_vars: Optional[dict] = None
+    fusion_vars: Optional[dict] = None
+    kernel_size: int = 51
+
+    def __post_init__(self):
+        self.vfi = IFNet(kernel_size=self.kernel_size, n_frames=2)
+        self.denoise = UNetSP(1)
+        self.fusion = FusionNetSP(1)
+
+        def vfi_fn(variables, x):
+            return self.vfi.apply(variables, x)
+
+        def full_fn(dv, fv, vfi_pred, deg2, deg3, m2, m3):
+            den2 = self.denoise.apply(dv, deg2, train=False)
+            den3 = self.denoise.apply(dv, deg3, train=False)
+            p1 = self.fusion.apply(
+                fv, vfi_pred[..., 0:1] * (1 - m2), den2 * m2, train=False
+            )
+            p2 = self.fusion.apply(
+                fv, vfi_pred[..., 1:2] * (1 - m3), den3 * m3, train=False
+            )
+            return p1, p2, den2, den3
+
+        self._vfi_fn = jax.jit(vfi_fn)
+        self._full_fn = jax.jit(full_fn)
+
+    def interp(self, img1, img4):
+        """test_interp parity: predict sections 2 & 3 from 1 & 4 (uint8 gray)."""
+        x = _gray6(_to01(img1), _to01(img4))
+        x, (h, w) = pad_to_multiple(x, 32)
+        pred = self._vfi_fn(self.vfi_vars, x)[:, :h, :w, :]
+        return jnp.clip(pred, 0.0, 1.0)
+
+    def restore(self, img1, img4, deg2, deg3, mask2, mask3):
+        """test_fusion parity. All args gray (N, H, W); masks in 0..255."""
+        vfi_pred = self.interp(img1, img4)
+        vfi_pad, (h, w) = pad_to_multiple(
+            jnp.concatenate([vfi_pred[..., 0:1], vfi_pred[..., 1:2]], -1), 32
+        )
+        d2, _ = pad_to_multiple(_to01(deg2)[..., None], 32)
+        d3, _ = pad_to_multiple(_to01(deg3)[..., None], 32)
+        m2, _ = pad_to_multiple(_to01(mask2)[..., None], 32)
+        m3, _ = pad_to_multiple(_to01(mask3)[..., None], 32)
+        p1, p2, den2, den3 = self._full_fn(
+            self.denoise_vars, self.fusion_vars, vfi_pad, d2, d3, m2, m3
+        )
+        return {
+            "pred1": jnp.clip(p1[:, :h, :w, 0], 0, 1),
+            "pred2": jnp.clip(p2[:, :h, :w, 0], 0, 1),
+            "vfi1": vfi_pred[..., 0],
+            "vfi2": vfi_pred[..., 1],
+            "denoise1": jnp.clip(den2[:, :h, :w, 0], 0, 1),
+            "denoise2": jnp.clip(den3[:, :h, :w, 0], 0, 1),
+        }

@@ -131,9 +131,15 @@ def _bwd_xla(image, vertical, horizontal, g):
 # Pallas TPU kernels
 # ---------------------------------------------------------------------------
 
-def _pick_tile(h: int, for_bwd: bool = False) -> int:
-    """Output-row tile. Sized so pipelined V/H map blocks fit VMEM."""
-    cap = 16 if for_bwd else 32
+def _pick_tile(h: int, w: int = 256, k: int = 51, for_bwd: bool = False) -> int:
+    """Output-row tile, sized so the pipelined per-tap map blocks fit VMEM.
+
+    Budget ~2.5 MB per (1, K, ty, W) f32 block (x2 maps x2 pipeline buffers
+    stays well under the 16 MB scoped-vmem limit even with the halo window
+    scratch); bwd carries 4 map blocks, so half the budget."""
+    budget = 1.25e6 if for_bwd else 2.5e6
+    cap = int(budget / (max(k, 1) * max(w, 1) * 4)) // 8 * 8
+    cap = max(8, min(32, cap))
     if h >= cap:
         return cap
     return max(8, -(-h // 8) * 8)
@@ -216,8 +222,8 @@ def _prep_planar(image, vertical, horizontal, ty, k):
 def _sepconv_fwd_pallas(image, vertical, horizontal, interpret=False):
     n, hp, wp, c = image.shape
     k = vertical.shape[-1]
-    h = hp - k + 1
-    ty = _pick_tile(h)
+    h, w = hp - k + 1, wp - k + 1
+    ty = _pick_tile(h, w, k)
     im_p, v_p, h_p, h, w, hpad, wp_pad = _prep_planar(image, vertical, horizontal, ty, k)
 
     grid = (n, hpad // ty)
@@ -288,8 +294,8 @@ def _bwd_kernel(k: int, ty: int, w: int, c: int,
 def _sepconv_bwd_pallas(image, vertical, horizontal, g, interpret=False):
     n, hp, wp, c = image.shape
     k = vertical.shape[-1]
-    h = hp - k + 1
-    ty = _pick_tile(h, for_bwd=True)
+    h, w = hp - k + 1, wp - k + 1
+    ty = _pick_tile(h, w, k, for_bwd=True)
     im_p, v_p, h_p, h, w, hpad, wp_pad = _prep_planar(image, vertical, horizontal, ty, k)
     g_p = _plane_pad(jnp.transpose(g, (0, 3, 1, 2)), hpad - h)
 
