@@ -66,12 +66,15 @@ class SFFPipeline:
         self._interp_fn = jax.jit(interp_fn)
         self._restore_fn = jax.jit(restore_fn)
 
-    def interpolate(self, prev_imgs, next_imgs):
-        """Interpolate missing sections from gray uint8 neighbors (N, H, W)."""
+    def interpolate(self, prev_imgs, next_imgs, clip=True):
+        """Interpolate missing sections from gray uint8 neighbors (N, H, W).
+
+        clip=False reproduces the reference interp inference, which casts
+        (pred*255) to uint8 without clipping (inference.py:89)."""
         x = _gray6(_to01(prev_imgs), _to01(next_imgs))
         x, (h, w) = pad_to_multiple(x, 32)
         pred = self._interp_fn(self.interp_vars, x)[:, :h, :w, 0]
-        return jnp.clip(pred, 0.0, 1.0)
+        return jnp.clip(pred, 0.0, 1.0) if clip else pred
 
     def restore(self, degraded_imgs, interp_imgs):
         """Full correction of degraded sections given interp images.

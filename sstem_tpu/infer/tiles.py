@@ -39,17 +39,20 @@ def infer_full(apply_fn, image, multiple=32):
     return out[:, :h, :w, :]
 
 
-def tile_image(image, tile=512, halo=64):
-    """(H, W, C) -> (T, tile+2*halo, tile+2*halo, C) edge-padded tiles.
+def tile_image(image, tile=512, halo=64, mode="constant"):
+    """(H, W, C) -> (T, tile+2*halo, tile+2*halo, C) halo-padded tiles.
 
-    Returns (tiles, grid) where grid = (ny, nx, h, w)."""
+    Zero padding by default so border tiles see exactly what the zero-padded
+    convolutions of a full-image pass would see (bit-exact tiled == full for
+    models whose receptive field fits the halo). Returns (tiles, grid) where
+    grid = (ny, nx, h, w)."""
     h, w, c = image.shape
     ny = -(-h // tile)
     nx = -(-w // tile)
     padded = jnp.pad(
         image,
         [(halo, ny * tile - h + halo), (halo, nx * tile - w + halo), (0, 0)],
-        mode="edge",
+        mode=mode,
     )
     tiles = []
     for iy in range(ny):
@@ -77,14 +80,15 @@ def untile(tiles_out, grid, halo=64):
     return full[:h, :w, :]
 
 
-def infer_tiled(apply_fn, image, tile=512, halo=64, batch=4, mesh=None):
+def infer_tiled(apply_fn, image, tile=512, halo=64, batch=4, mesh=None,
+                mode="constant"):
     """Tiled inference of one (H, W, C) section.
 
     apply_fn: (N, tile+2h, tile+2h, C) -> (N, tile+2h, tile+2h, C_out),
     compiled once for the fixed tile shape. With ``mesh``, tile batches are
     sharded over the 'data' axis (spatial parallelism across chips).
     """
-    tiles, grid = tile_image(image, tile, halo)
+    tiles, grid = tile_image(image, tile, halo, mode)
     n = tiles.shape[0]
     outs = []
     if mesh is not None:

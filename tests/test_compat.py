@@ -1,0 +1,258 @@
+"""Torch-checkpoint importer tests.
+
+Strategy: build a reference-named state dict (names transcribed from the
+reference module definitions, shapes derived from our initialized trees via
+the inverse layout transforms), import it, and assert (a) every produced
+leaf matches the flax tree structure exactly, (b) the values round-trip
+through the layout conversions, (c) 'module.' prefixes and
+num_batches_tracked are handled.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sstem_tpu.compat import torch_ckpt as tc
+from sstem_tpu.models import IFNet, FusionNet, UNetSFF, UNetSP
+
+RNG = np.random.default_rng(17)
+
+
+@pytest.fixture(autouse=True)
+def _fast_precision():
+    import sstem_tpu.config as cfg
+
+    cfg.set_matmul_precision("default")
+    yield
+    cfg.set_matmul_precision("highest")
+
+
+def _flatten(tree, prefix=""):
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out.update(_flatten(v, prefix + k + "/"))
+        else:
+            out[prefix + k] = np.asarray(v)
+    return out
+
+
+def _torch_sd_from_flax(flat_params, flat_stats, name_map):
+    """Inverse mapping: flax leaf path -> torch tensor with torch layout."""
+    sd = {}
+    for fpath, tname in name_map.items():
+        if fpath.endswith("Conv_0/kernel"):
+            sd[tname + ".weight"] = np.transpose(flat_params[fpath], (3, 2, 0, 1))
+        elif fpath.endswith("Conv_0/bias"):
+            sd[tname + ".bias"] = flat_params[fpath]
+        elif fpath.endswith("/kernel"):  # deconv
+            sd[tname + ".weight"] = np.transpose(flat_params[fpath], (3, 2, 0, 1))
+        elif fpath.endswith("/bias"):
+            sd[tname + ".bias"] = flat_params[fpath]
+        elif fpath.endswith("scale"):
+            sd[tname + ".weight"] = flat_params[fpath]
+            base = fpath[: -len("scale")]
+            sd[tname + ".bias"] = flat_params[base + "bias"]
+            sd[tname + ".running_mean"] = flat_stats[base + "mean"]
+            sd[tname + ".running_var"] = flat_stats[base + "var"]
+            sd[tname + ".num_batches_tracked"] = np.asarray(7)
+    return sd
+
+
+def _conv_module_map(ours, theirs):
+    return {
+        f"{ours}/conv0/Conv_0/kernel": f"{theirs}.0",
+        f"{ours}/conv0/Conv_0/bias": f"{theirs}.0",
+        f"{ours}/conv1/Conv_0/kernel": f"{theirs}.2",
+        f"{ours}/conv1/Conv_0/bias": f"{theirs}.2",
+        f"{ours}/conv2/Conv_0/kernel": f"{theirs}.4",
+        f"{ours}/conv2/Conv_0/bias": f"{theirs}.4",
+    }
+
+
+def _head_map(ours, theirs):
+    m = _conv_module_map(ours, theirs)
+    m[f"{ours}/conv3/Conv_0/kernel"] = f"{theirs}.7"
+    m[f"{ours}/conv3/Conv_0/bias"] = f"{theirs}.7"
+    return m
+
+
+def test_ifnet_import_roundtrip():
+    model = IFNet(kernel_size=5, n_frames=1)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 6), jnp.float32)
+    )
+    flat = _flatten(variables["params"])
+
+    name_map = {}
+    for blk in ["conv32", "conv64", "conv128", "conv256", "conv512",
+                "conv512x512", "upconv256", "upconv128", "upconv64"]:
+        name_map.update(_conv_module_map(blk, blk))
+    for blk in ["upsamp512", "upsamp256", "upsamp128", "upsamp64"]:
+        name_map[f"{blk}/conv/Conv_0/kernel"] = f"{blk}.1"
+        name_map[f"{blk}/conv/Conv_0/bias"] = f"{blk}.1"
+    for ours, theirs in [("head2h", "upconv51_1"), ("head2v", "upconv51_2"),
+                         ("head1h", "upconv51_3"), ("head1v", "upconv51_4")]:
+        name_map.update(_head_map(ours, theirs))
+
+    sd = _torch_sd_from_flax(flat, {}, name_map)
+    # simulate DataParallel prefix + a vestigial SR branch entry
+    sd = {"module." + k: v for k, v in sd.items()}
+    sd["module.srconv1.weight"] = RNG.standard_normal((64, 1, 5, 5))
+    imported = tc.load_torch_ifnet({"model_weights": sd}, n_frames=1)
+
+    got = _flatten(imported["params"])
+    assert set(got) == set(flat)
+    for k in flat:
+        np.testing.assert_array_equal(got[k], flat[k])
+    # imported params drive the model
+    y = jax.jit(model.apply)(imported, jnp.zeros((1, 32, 32, 6), jnp.float32))
+    assert y.shape == (1, 32, 32, 1)
+
+
+def test_fusionnet_import_roundtrip():
+    model = FusionNet(output_nc=2, ngf=8)
+    variables = jax.jit(lambda k, x: model.init(k, x, train=True))(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 6), jnp.float32)
+    )
+    flat_p = _flatten(variables["params"])
+    flat_s = _flatten(variables["batch_stats"])
+
+    name_map = {}
+
+    def map_cb(ours, theirs):
+        name_map[f"{ours}/conv/Conv_0/kernel"] = f"{theirs}.0"
+        name_map[f"{ours}/conv/Conv_0/bias"] = f"{theirs}.0"
+        name_map[f"{ours}/bn/BatchNorm_0/scale"] = f"{theirs}.1"
+
+    def map_crc(ours, theirs):
+        map_cb(f"{ours}/conv_1", f"{theirs}.conv_1")
+        map_cb(f"{ours}/conv_2/block0", f"{theirs}.conv_2.0")
+        map_cb(f"{ours}/conv_2/block1", f"{theirs}.conv_2.1")
+        name_map[f"{ours}/conv_2/conv/Conv_0/kernel"] = f"{theirs}.conv_2.2"
+        name_map[f"{ours}/conv_2/conv/Conv_0/bias"] = f"{theirs}.conv_2.2"
+        name_map[f"{ours}/conv_2/bn/BatchNorm_0/scale"] = f"{theirs}.conv_2.3"
+        map_cb(f"{ours}/conv_3", f"{theirs}.conv_3")
+
+    for blk in ["down_1", "down_2", "down_3", "down_4", "bridge",
+                "up_1", "up_2", "up_3", "up_4"]:
+        map_crc(blk, blk)
+    for blk in ["deconv_1", "deconv_2", "deconv_3", "deconv_4"]:
+        name_map[f"{blk}/deconv/kernel"] = f"{blk}.0"
+        name_map[f"{blk}/deconv/bias"] = f"{blk}.0"
+        name_map[f"{blk}/bn/BatchNorm_0/scale"] = f"{blk}.1"
+    name_map["out/Conv_0/kernel"] = "out"
+    name_map["out/Conv_0/bias"] = "out"
+
+    sd = _torch_sd_from_flax(flat_p, flat_s, name_map)
+    imported = tc.load_torch_fusionnet(sd)
+    got_p = _flatten(imported["params"])
+    got_s = _flatten(imported["batch_stats"])
+    assert set(got_p) == set(flat_p)
+    assert set(got_s) == set(flat_s)
+    for k in flat_p:
+        np.testing.assert_array_equal(got_p[k], flat_p[k])
+    y = model.apply(imported, jnp.zeros((1, 32, 32, 6), jnp.float32),
+                    train=False)
+    assert y.shape == (1, 32, 32, 2)
+
+
+def test_unet_sff_import_structure():
+    model = UNetSFF(out_channel=1)
+    variables = jax.jit(lambda k, x: model.init(k, x, train=True))(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 6), jnp.float32)
+    )
+    flat_p = _flatten(variables["params"])
+    flat_s = _flatten(variables["batch_stats"])
+
+    # synthesize a torch sd with correct names/shapes via inverse transforms
+    sd = {}
+
+    def put_conv(t, k):
+        sd[t + ".weight"] = np.transpose(flat_p[k + "/Conv_0/kernel"], (3, 2, 0, 1))
+        sd[t + ".bias"] = flat_p[k + "/Conv_0/bias"]
+
+    def put_bn(t, k):
+        sd[t + ".weight"] = flat_p[k + "/BatchNorm_0/scale"]
+        sd[t + ".bias"] = flat_p[k + "/BatchNorm_0/bias"]
+        sd[t + ".running_mean"] = flat_s[k + "/BatchNorm_0/mean"]
+        sd[t + ".running_var"] = flat_s[k + "/BatchNorm_0/var"]
+
+    def put_deconv(t, k):
+        sd[t + ".weight"] = np.transpose(flat_p[k + "/kernel"], (3, 2, 0, 1))
+        sd[t + ".bias"] = flat_p[k + "/bias"]
+
+    for i in (1, 2, 3):
+        put_conv(f"conv_encode{i}.0", f"conv_encode{i}/conv0")
+        put_bn(f"conv_encode{i}.1", f"conv_encode{i}/bn0")
+        put_conv(f"conv_encode{i}.3", f"conv_encode{i}/conv1")
+        put_bn(f"conv_encode{i}.4", f"conv_encode{i}/bn1")
+    put_conv("bottleneck.0", "bottleneck_conv0")
+    put_bn("bottleneck.1", "bottleneck_bn0")
+    put_conv("bottleneck.3", "bottleneck_conv1")
+    put_bn("bottleneck.4", "bottleneck_bn1")
+    put_deconv("bottleneck.6", "bottleneck_deconv")
+    put_bn("bottleneck.7", "bottleneck_bn2")
+    for i in (3, 2):
+        put_conv(f"conv_decode{i}.0", f"conv_decode{i}/conv0")
+        put_bn(f"conv_decode{i}.1", f"conv_decode{i}/bn0")
+        put_conv(f"conv_decode{i}.3", f"conv_decode{i}/conv1")
+        put_bn(f"conv_decode{i}.4", f"conv_decode{i}/bn1")
+        put_deconv(f"conv_decode{i}.6", f"conv_decode{i}/deconv")
+        put_bn(f"conv_decode{i}.7", f"conv_decode{i}/bn2")
+    put_conv("final_layer.0", "final_conv0")
+    put_bn("final_layer.1", "final_bn0")
+    put_conv("final_layer.3", "final_conv1")
+    put_bn("final_layer.4", "final_bn1")
+
+    imported = tc.load_torch_unet_sff(sd)
+    assert set(_flatten(imported["params"])) == set(flat_p)
+    assert set(_flatten(imported["batch_stats"])) == set(flat_s)
+    y = model.apply(imported, jnp.zeros((1, 32, 32, 6), jnp.float32),
+                    train=False)
+    assert y.shape == (1, 32, 32, 1)
+
+
+def test_unet_sp_import_structure():
+    model = UNetSP(n_classes=1)
+    variables = jax.jit(lambda k, x: model.init(k, x, train=True))(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 1), jnp.float32)
+    )
+    flat_p = _flatten(variables["params"])
+    flat_s = _flatten(variables["batch_stats"])
+
+    sd = {}
+
+    def put_dc(t, k):
+        sd[t + ".0.weight"] = np.transpose(
+            flat_p[k + "/conv0/Conv_0/kernel"], (3, 2, 0, 1))
+        sd[t + ".0.bias"] = flat_p[k + "/conv0/Conv_0/bias"]
+        sd[t + ".1.weight"] = flat_p[k + "/bn0/BatchNorm_0/scale"]
+        sd[t + ".1.bias"] = flat_p[k + "/bn0/BatchNorm_0/bias"]
+        sd[t + ".1.running_mean"] = flat_s[k + "/bn0/BatchNorm_0/mean"]
+        sd[t + ".1.running_var"] = flat_s[k + "/bn0/BatchNorm_0/var"]
+        sd[t + ".3.weight"] = np.transpose(
+            flat_p[k + "/conv1/Conv_0/kernel"], (3, 2, 0, 1))
+        sd[t + ".3.bias"] = flat_p[k + "/conv1/Conv_0/bias"]
+        sd[t + ".4.weight"] = flat_p[k + "/bn1/BatchNorm_0/scale"]
+        sd[t + ".4.bias"] = flat_p[k + "/bn1/BatchNorm_0/bias"]
+        sd[t + ".4.running_mean"] = flat_s[k + "/bn1/BatchNorm_0/mean"]
+        sd[t + ".4.running_var"] = flat_s[k + "/bn1/BatchNorm_0/var"]
+
+    put_dc("inc.double_conv", "backbone/inc")
+    for i in range(1, 5):
+        put_dc(f"down{i}.maxpool_conv.1.double_conv",
+               f"backbone/down{i}/conv")
+        put_dc(f"up{i}.conv.double_conv", f"backbone/up{i}/conv")
+    sd["outc.conv.weight"] = np.transpose(
+        flat_p["backbone/outc/Conv_0/kernel"], (3, 2, 0, 1))
+    sd["outc.conv.bias"] = flat_p["backbone/outc/Conv_0/bias"]
+
+    imported = tc.load_torch_unet_sp(sd)
+    assert set(_flatten(imported["params"])) == set(flat_p)
+    assert set(_flatten(imported["batch_stats"])) == set(flat_s)
+    y = model.apply(imported, jnp.zeros((1, 32, 32, 1), jnp.float32),
+                    train=False)
+    assert y.shape == (1, 32, 32, 1)
