@@ -1,0 +1,244 @@
+"""Direct numerical parity vs the ACTUAL reference PyTorch models.
+
+These tests import the reference model definitions from the read-only mount
+(no code is copied into this repo), stub the CUDA-only sepconv extension with
+a brute-force torch implementation, load identical weights into both sides
+via our torch-checkpoint importers, and compare full forward passes.
+
+Skipped automatically when the reference mount is absent.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference mount not available"
+)
+
+RNG = np.random.default_rng(41)
+
+
+@pytest.fixture(autouse=True)
+def _fast_precision():
+    import sstem_tpu.config as cfg
+
+    # HIGHEST so the MXU matches torch f32 closely
+    cfg.set_matmul_precision("highest")
+    yield
+
+
+def _install_import_stubs():
+    """Stub unused heavy deps the reference files import at module level
+    (torchvision for vestigial imports, skimage.morphology)."""
+    import types
+
+    for name in ["torchvision", "torchvision.utils", "torchvision.datasets",
+                 "torchvision.transforms", "skimage", "skimage.morphology",
+                 "cupy"]:
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+    sys.modules["torchvision"].utils = sys.modules["torchvision.utils"]
+    sys.modules["torchvision"].datasets = sys.modules["torchvision.datasets"]
+    sys.modules["torchvision"].transforms = sys.modules["torchvision.transforms"]
+    sys.modules["skimage"].morphology = sys.modules["skimage.morphology"]
+
+
+def _install_sepconv_stub():
+    """Provide libs.sepconv.SeparableConvolution with a brute-force torch
+    implementation so the reference IFNet runs on CPU."""
+    import types
+
+    import torch
+
+    class _BruteSepconv(torch.autograd.Function):
+        @staticmethod
+        def forward(ctx, inp, vertical, horizontal):
+            n, c, hp, wp = inp.shape
+            k = vertical.shape[1]
+            ho, wo = hp - k + 1, wp - k + 1
+            out = torch.zeros((n, c, ho, wo), dtype=inp.dtype)
+            for u in range(k):
+                vu = vertical[:, u:u + 1, :, :]
+                acc = torch.zeros((n, c, ho, wo), dtype=inp.dtype)
+                for v in range(k):
+                    hv = horizontal[:, v:v + 1, :, :]
+                    acc = acc + inp[:, :, u:u + ho, v:v + wo] * hv
+                out = out + vu * acc
+            return out
+
+    mod = types.ModuleType("libs.sepconv.SeparableConvolution")
+    mod.SeparableConvolution = _BruteSepconv
+    pkg_libs = types.ModuleType("libs")
+    pkg_sep = types.ModuleType("libs.sepconv")
+    pkg_libs.sepconv = pkg_sep
+    pkg_sep.SeparableConvolution = mod
+    sys.modules.setdefault("libs", pkg_libs)
+    sys.modules["libs.sepconv"] = pkg_sep
+    sys.modules["libs.sepconv.SeparableConvolution"] = mod
+
+
+def _import_ref(subdir, module):
+    import importlib
+
+    _install_import_stubs()
+
+    path = os.path.join(REF, subdir)
+    added = []
+    for p in (path, os.path.join(path, "model")):
+        if os.path.isdir(p) and p not in sys.path:
+            sys.path.insert(0, p)
+            added.append(p)
+    try:
+        if module in sys.modules:
+            return sys.modules[module]
+        return importlib.import_module(module)
+    finally:
+        pass
+
+
+def test_fusionnet_forward_parity():
+    import torch
+
+    ref_mod = _import_ref("sff_scripts_unfolding", "model_fusionnet")
+    tmodel = ref_mod.FusionNet(input_nc=6, output_nc=2, ngf=8)
+    tmodel.eval()
+
+    from sstem_tpu.compat.torch_ckpt import load_torch_fusionnet
+    from sstem_tpu.models import FusionNet
+
+    variables = load_torch_fusionnet(tmodel.state_dict())
+    model = FusionNet(output_nc=2, ngf=8)
+
+    x = RNG.standard_normal((1, 32, 32, 6)).astype(np.float32)
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+    ref = np.transpose(ref.numpy(), (0, 2, 3, 1))
+    got = np.asarray(model.apply(variables, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_unet_sff_forward_parity():
+    import torch
+
+    ref_mod = _import_ref("sff_scripts_fusion", "model_unet")
+    tmodel = ref_mod.UNet(in_channel=6, out_channel=1)
+    tmodel.eval()
+
+    from sstem_tpu.compat.torch_ckpt import load_torch_unet_sff
+    from sstem_tpu.models import UNetSFF
+
+    variables = load_torch_unet_sff(tmodel.state_dict())
+    model = UNetSFF(out_channel=1)
+
+    x = RNG.standard_normal((1, 32, 32, 6)).astype(np.float32)
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+    ref = np.transpose(ref.numpy(), (0, 2, 3, 1))
+    got = np.asarray(model.apply(variables, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_unet_sp_forward_parity():
+    import torch
+
+    _install_sepconv_stub()
+    ref_mod = _import_ref("sp_scripts_train", "networks")
+    tmodel = ref_mod.UNet(n_channels=1, n_classes=1)
+    tmodel.eval()
+
+    from sstem_tpu.compat.torch_ckpt import load_torch_unet_sp
+    from sstem_tpu.models import UNetSP
+
+    variables = load_torch_unet_sp(tmodel.state_dict())
+    model = UNetSP(n_classes=1)
+
+    x = RNG.standard_normal((1, 32, 32, 1)).astype(np.float32)
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+    ref = np.transpose(ref.numpy(), (0, 2, 3, 1))
+    got = np.asarray(model.apply(variables, jnp.asarray(x), train=False))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+def test_fusionnet_sp_forward_parity():
+    import torch
+
+    _install_sepconv_stub()
+    ref_mod = _import_ref("sp_scripts_train", "networks")
+    tmodel = ref_mod.FusionNet(n_channels=1, n_classes=1)
+    tmodel.eval()
+
+    from sstem_tpu.compat.torch_ckpt import load_torch_unet_sp
+    from sstem_tpu.models import FusionNetSP
+
+    variables = load_torch_unet_sp(tmodel.state_dict())
+    model = FusionNetSP(n_classes=1)
+
+    a = RNG.standard_normal((1, 32, 32, 1)).astype(np.float32)
+    b = RNG.standard_normal((1, 32, 32, 1)).astype(np.float32)
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(np.transpose(a, (0, 3, 1, 2))),
+                     torch.from_numpy(np.transpose(b, (0, 3, 1, 2))))
+    ref = np.transpose(ref.numpy(), (0, 2, 3, 1))
+    got = np.asarray(
+        model.apply(variables, jnp.asarray(a), jnp.asarray(b), train=False)
+    )
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.slow
+def test_ifnet_forward_parity():
+    """Full IFNet (K=51 is slow on CPU brute force; use the real arch at
+    K=51 but a small 64^2 input)."""
+    import torch
+
+    _install_sepconv_stub()
+    ref_mod = _import_ref("sff_scripts_interp", "model_interp")
+    torch.manual_seed(0)
+    tmodel = ref_mod.IFNet(kernel_size=51)
+    tmodel.eval()
+
+    from sstem_tpu.compat.torch_ckpt import load_torch_ifnet
+    from sstem_tpu.models import IFNet
+
+    variables = load_torch_ifnet(tmodel.state_dict(), n_frames=1)
+    model = IFNet(kernel_size=51, n_frames=1)
+
+    x = RNG.uniform(0, 1, (1, 64, 64, 6)).astype(np.float32)
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+    ref = np.transpose(ref.numpy(), (0, 2, 3, 1))
+    got = np.asarray(model.apply(variables, jnp.asarray(x)))
+    np.testing.assert_allclose(got, ref, rtol=5e-4, atol=5e-4)
+
+
+@pytest.mark.slow
+def test_ifnet_sp_forward_parity():
+    """2-frame SP IFNet vs the reference networks.IFNet (8 used heads)."""
+    import torch
+
+    _install_sepconv_stub()
+    ref_mod = _import_ref("sp_scripts_train", "networks")
+    torch.manual_seed(1)
+    tmodel = ref_mod.IFNet()
+    tmodel.eval()
+
+    from sstem_tpu.compat.torch_ckpt import load_torch_ifnet
+    from sstem_tpu.models import IFNet
+
+    variables = load_torch_ifnet(tmodel.state_dict(), n_frames=2)
+    model = IFNet(kernel_size=51, n_frames=2)
+
+    x = RNG.uniform(0, 1, (1, 64, 64, 6)).astype(np.float32)
+    with torch.no_grad():
+        ref = tmodel(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
+    ref = np.transpose(ref.numpy(), (0, 2, 3, 1))
+    got = np.asarray(model.apply(variables, jnp.asarray(x)))
+    np.testing.assert_allclose(got, ref, rtol=5e-4, atol=5e-4)
