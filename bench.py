@@ -87,14 +87,14 @@ def main():
     dev_stack = jnp.asarray(stack_p)
 
     def run(ids):
-        acc = 0.0
-        for i in ids:
-            acc += float(restore_jit(
-                interp_vars, flow_vars, fusion_vars,
-                dev_stack[i - 1:i], dev_stack[i + 1:i + 2],
-                dev_stack[i:i + 1],
-            ))
-        return acc
+        # queue all sections, then one device sync (keeps the host link out
+        # of the measurement; on-device dependencies serialize the work)
+        outs = [restore_jit(
+            interp_vars, flow_vars, fusion_vars,
+            dev_stack[i - 1:i], dev_stack[i + 1:i + 2],
+            dev_stack[i:i + 1],
+        ) for i in ids]
+        return float(jnp.stack(outs).sum())
 
     run(DAMAGED[:1])  # warmup / compile
     t0 = time.time()

@@ -150,18 +150,27 @@ def _halo_rows(ty: int, k: int) -> int:
     return -(-(ty + k - 1) // 8) * 8
 
 
+def _unroll(k: int) -> int:
+    """Tap-loop unroll factor: rolls happen once per group, FMAs use static
+    in-group offsets. 51 = 3 * 17."""
+    for f in (3, 2):
+        if k % f == 0:
+            return f
+    return 1
+
+
 def _fwd_kernel(k: int, ty: int, w: int, c: int,
                 im_hbm, v_ref, h_ref, out_ref, scratch, sem):
-    """Roll-based accumulation: the VMEM window is rolled up one sublane per
-    vertical tap u and one lane per horizontal tap v, so every slice the FMAs
-    touch is at a static offset — no unaligned dynamic slicing, and the live
-    set inside the double fori stays O(window), not O(K * window).
+    """Roll-based accumulation: the VMEM window is rolled up by the unroll
+    factor per tap group; in-group taps use static sublane/lane offsets, so
+    no unaligned dynamic slicing and an O(window) live set.
 
         out[c, y, x] = sum_u V[u, y, x] * (sum_v H[v, y, x] * im[c, y+u, x+v])
     """
     n = pl.program_id(0)
     t = pl.program_id(1)
     rows = _halo_rows(ty, k)
+    uu = _unroll(k)
     dma = pltpu.make_async_copy(
         im_hbm.at[n, :, pl.ds(t * ty, rows), :], scratch, sem
     )
@@ -170,25 +179,30 @@ def _fwd_kernel(k: int, ty: int, w: int, c: int,
 
     win0 = scratch[...]  # (c, rows, wp_pad)
 
-    def u_body(u, carry):
+    def u_group(g, carry):
         acc, win = carry
-        row = win[:, :ty, :]  # rows y+u for all outputs y in tile
+        for du in range(uu):
+            u = g * uu + du
+            row = win[:, du:du + ty, :]  # rows y+u for outputs y in tile
 
-        def v_body(v, vc):
-            hacc, wr = vc
-            h_v = h_ref[0, v].astype(jnp.float32)  # (ty, w)
-            hacc = hacc + h_v[None] * wr[:, :, :w]
-            return hacc, pltpu.roll(wr, wr.shape[2] - 1, 2)
+            def v_group(gv, vc):
+                hacc, wr = vc
+                for dv in range(uu):
+                    h_v = h_ref[0, gv * uu + dv].astype(jnp.float32)
+                    hacc = hacc + h_v[None] * wr[:, :, dv:dv + w]
+                return hacc, pltpu.roll(wr, wr.shape[2] - uu, 2)
 
-        hacc, _ = lax.fori_loop(
-            0, k, v_body, (jnp.zeros((c, ty, w), jnp.float32), row)
-        )
-        v_u = v_ref[0, u].astype(jnp.float32)
-        acc = acc + v_u[None] * hacc
-        return acc, pltpu.roll(win, win.shape[1] - 1, 1)
+            hacc, _ = lax.fori_loop(
+                0, k // uu, v_group,
+                (jnp.zeros((c, ty, w), jnp.float32), row),
+            )
+            v_u = v_ref[0, u].astype(jnp.float32)
+            acc = acc + v_u[None] * hacc
+        return acc, pltpu.roll(win, win.shape[1] - uu, 1)
 
     acc, _ = lax.fori_loop(
-        0, k, u_body, (jnp.zeros((c, ty, w), jnp.float32), win0)
+        0, k // uu, u_group,
+        (jnp.zeros((c, ty, w), jnp.float32), win0),
     )
     out_ref[0] = acc.astype(out_ref.dtype)
 
@@ -254,10 +268,12 @@ def _sepconv_fwd_pallas(image, vertical, horizontal, interpret=False):
 def _bwd_kernel(k: int, ty: int, w: int, c: int,
                 im_hbm, v_ref, h_ref, g_ref, dv_ref, dh_ref, scratch, sem):
     """Roll-based backward: shares s(u,v) = sum_c g * im[y+u, x+v] between
-    dV[u] = sum_v H[v] * s(u,v) and dH[v] = sum_u V[u] * s(u,v)."""
+    dV[u] = sum_v H[v] * s(u,v) and dH[v] = sum_u V[u] * s(u,v); taps are
+    processed in unrolled groups (static in-group offsets, one roll/group)."""
     n = pl.program_id(0)
     t = pl.program_id(1)
     rows = _halo_rows(ty, k)
+    uu = _unroll(k)
     dma = pltpu.make_async_copy(
         im_hbm.at[n, :, pl.ds(t * ty, rows), :], scratch, sem
     )
@@ -268,27 +284,32 @@ def _bwd_kernel(k: int, ty: int, w: int, c: int,
     dh_ref[...] = jnp.zeros_like(dh_ref)
     win0 = scratch[...]
 
-    def u_body(u, win):
-        v_u = v_ref[0, u].astype(jnp.float32)
-        row = win[:, :ty, :]
+    def u_group(gu, win):
+        for du in range(uu):
+            u = gu * uu + du
+            v_u = v_ref[0, u].astype(jnp.float32)
+            row = win[:, du:du + ty, :]
 
-        def v_body(v, vc):
-            dv_u, wr = vc
-            s = jnp.sum(g * wr[:, :, :w], axis=0)  # (ty, w)
-            h_v = h_ref[0, v].astype(jnp.float32)
-            dv_u = dv_u + h_v * s
-            dh_ref[0, v] = (
-                dh_ref[0, v].astype(jnp.float32) + v_u * s
-            ).astype(dh_ref.dtype)
-            return dv_u, pltpu.roll(wr, wr.shape[2] - 1, 2)
+            def v_group(gv, vc):
+                dv_u, wr = vc
+                for dv in range(uu):
+                    vv = gv * uu + dv
+                    s = jnp.sum(g * wr[:, :, dv:dv + w], axis=0)  # (ty, w)
+                    h_v = h_ref[0, vv].astype(jnp.float32)
+                    dv_u = dv_u + h_v * s
+                    dh_ref[0, vv] = (
+                        dh_ref[0, vv].astype(jnp.float32) + v_u * s
+                    ).astype(dh_ref.dtype)
+                return dv_u, pltpu.roll(wr, wr.shape[2] - uu, 2)
 
-        dv_u, _ = lax.fori_loop(
-            0, k, v_body, (jnp.zeros((ty, w), jnp.float32), row)
-        )
-        dv_ref[0, u] = dv_u.astype(dv_ref.dtype)
-        return pltpu.roll(win, win.shape[1] - 1, 1)
+            dv_u, _ = lax.fori_loop(
+                0, k // uu, v_group,
+                (jnp.zeros((ty, w), jnp.float32), row),
+            )
+            dv_ref[0, u] = dv_u.astype(dv_ref.dtype)
+        return pltpu.roll(win, win.shape[1] - uu, 1)
 
-    lax.fori_loop(0, k, u_body, win0)
+    lax.fori_loop(0, k // uu, u_group, win0)
 
 
 def _sepconv_bwd_pallas(image, vertical, horizontal, g, interpret=False):
