@@ -85,10 +85,17 @@ class IFNet(nn.Module):
     Attributes:
       kernel_size: per-pixel separable filter taps (reference: 51).
       n_frames: 1 (SFF — one interpolated section) or 2 (SP — sections 2 & 3).
+      assume_gray: the reference always feeds grayscale sections replicated
+        x3 (data_provider.py:132-141, inference.py:70-75), making the three
+        sepconv output channels identical before the channel mean. With this
+        flag (default) the local convolutions run on one channel — exactly
+        the same result at a third of the sepconv cost. Set False to
+        reproduce the reference computation for arbitrary 6-channel inputs.
     """
 
     kernel_size: int = 51
     n_frames: int = 1
+    assume_gray: bool = True
 
     @nn.compact
     def __call__(self, x):
@@ -127,6 +134,9 @@ class IFNet(nn.Module):
 
         # ---- kernel heads + local (separable) convolutions ----
         pad = self.kernel_size // 2
+        if self.assume_gray:
+            i1 = i1[..., 0:1]
+            i2 = i2[..., 0:1]
         padded_i1 = replication_pad_2d(i1, pad)
         padded_i2 = replication_pad_2d(i2, pad)
 
@@ -138,5 +148,8 @@ class IFNet(nn.Module):
             k1h = _KernelHead(self.kernel_size, name=f"head1h{sfx}")(x)
             k1v = _KernelHead(self.kernel_size, name=f"head1v{sfx}")(x)
             y = sepconv(padded_i2, k2v, k2h) + sepconv(padded_i1, k1v, k1h)
-            outs.append(jnp.mean(y, axis=-1, keepdims=True))
+            if self.assume_gray:
+                outs.append(y)
+            else:
+                outs.append(jnp.mean(y, axis=-1, keepdims=True))
         return jnp.concatenate(outs, axis=-1) if len(outs) > 1 else outs[0]

@@ -209,14 +209,27 @@ def test_ifnet_forward_parity():
     from sstem_tpu.models import IFNet
 
     variables = load_torch_ifnet(tmodel.state_dict(), n_frames=1)
-    model = IFNet(kernel_size=51, n_frames=1)
 
+    # arbitrary-channel input: exact reference computation path
     x = RNG.uniform(0, 1, (1, 64, 64, 6)).astype(np.float32)
     with torch.no_grad():
         ref = tmodel(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))))
     ref = np.transpose(ref.numpy(), (0, 2, 3, 1))
-    got = np.asarray(model.apply(variables, jnp.asarray(x)))
+    model_full = IFNet(kernel_size=51, n_frames=1, assume_gray=False)
+    got = np.asarray(model_full.apply(variables, jnp.asarray(x)))
     np.testing.assert_allclose(got, ref, rtol=5e-4, atol=5e-4)
+
+    # replicated-gray input (the reference's actual usage): the fast
+    # single-channel path must match too
+    g1 = RNG.uniform(0, 1, (1, 64, 64, 1)).astype(np.float32)
+    g2 = RNG.uniform(0, 1, (1, 64, 64, 1)).astype(np.float32)
+    xg = np.concatenate([np.repeat(g1, 3, -1), np.repeat(g2, 3, -1)], -1)
+    with torch.no_grad():
+        refg = tmodel(torch.from_numpy(np.transpose(xg, (0, 3, 1, 2))))
+    refg = np.transpose(refg.numpy(), (0, 2, 3, 1))
+    model_gray = IFNet(kernel_size=51, n_frames=1, assume_gray=True)
+    gotg = np.asarray(model_gray.apply(variables, jnp.asarray(xg)))
+    np.testing.assert_allclose(gotg, refg, rtol=5e-4, atol=5e-4)
 
 
 @pytest.mark.slow
@@ -234,7 +247,7 @@ def test_ifnet_sp_forward_parity():
     from sstem_tpu.models import IFNet
 
     variables = load_torch_ifnet(tmodel.state_dict(), n_frames=2)
-    model = IFNet(kernel_size=51, n_frames=2)
+    model = IFNet(kernel_size=51, n_frames=2, assume_gray=False)
 
     x = RNG.uniform(0, 1, (1, 64, 64, 6)).astype(np.float32)
     with torch.no_grad():
