@@ -83,7 +83,8 @@ def sp_fusion_forward(models, variables, batch, mode, train=True):
 
 
 def build(cfg, steps_per_epoch):
-    models = (IFNet(kernel_size=51, n_frames=2), UNetSP(1), FusionNetSP(1))
+    models = (IFNet(kernel_size=int(cfg.kernel_size or 51), n_frames=2),
+              UNetSP(1), FusionNetSP(1))
     base_lr = float(cfg.base_lr or 1e-4)
     lr_weights = {
         "vfi": float(cfg.vfi_lr_weight or 1.0),

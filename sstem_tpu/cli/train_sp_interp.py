@@ -31,7 +31,7 @@ def vfi_inputs(batch):
 
 
 def build(opt_cfg, steps_per_epoch):
-    model = IFNet(kernel_size=51, n_frames=2)
+    model = IFNet(kernel_size=int(opt_cfg.kernel_size or 51), n_frames=2)
     schedule = step_lr(float(opt_cfg.base_lr or 1e-4), 30, 0.5,
                        steps_per_epoch=steps_per_epoch)
     opt = make_optimizer(schedule)

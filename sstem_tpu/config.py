@@ -24,3 +24,25 @@ def set_matmul_precision(name: str):
 
 def matmul_precision():
     return _PRECISION
+
+
+_COMPUTE_DTYPE = None  # None -> float32 activations
+
+
+def set_compute_dtype(name):
+    """Activation dtype for conv layers: None/'float32' or 'bfloat16'.
+
+    bf16 halves HBM activation traffic and runs single-pass on the MXU;
+    params stay f32. BatchNorm statistics always compute in f32. Quality
+    impact vs the f32 path is measured by tools/quality_check.py.
+    """
+    global _COMPUTE_DTYPE
+    import jax.numpy as jnp
+
+    _COMPUTE_DTYPE = {
+        None: None, "float32": None, "bfloat16": jnp.bfloat16,
+    }[name]
+
+
+def compute_dtype():
+    return _COMPUTE_DTYPE

@@ -22,7 +22,7 @@ import numpy as np
 from flax import linen as nn
 from jax import lax
 
-from sstem_tpu.config import matmul_precision
+from sstem_tpu.config import compute_dtype, matmul_precision
 
 
 # ---------------------------------------------------------------------------
@@ -91,6 +91,7 @@ class Conv2dTorch(nn.Module):
             kernel_init=self.kernel_init,
             bias_init=torch_conv_bias_init(fan_in),
             precision=matmul_precision(),
+            dtype=compute_dtype(),
         )(x)
 
 
@@ -124,6 +125,11 @@ class ConvTranspose2dTorch(nn.Module):
                 return jax.random.uniform(key, shape, dtype, -bound, bound)
         w = self.param("kernel", kinit, (k, k, self.features, in_ch))
         b = self.param("bias", torch_conv_bias_init(fan_in), (self.features,))
+        cdt = compute_dtype()
+        if cdt is not None:
+            x = x.astype(cdt)
+            w = w.astype(cdt)
+            b = b.astype(cdt)
         lo = k - 1 - p
         hi = k - 1 - p + op
         y = lax.conv_general_dilated(

@@ -201,3 +201,60 @@ def test_interp_trainer_builds_and_steps(tmp_path):
     provider.close()
     assert all(np.isfinite(l) for l in losses_seen)
     assert int(state.step) == 3
+
+
+def test_sp_fusion_trainer_builds_and_steps(tmp_path):
+    """Joint 3-model SP trainer: one step over a synthetic quartet."""
+    from PIL import Image
+
+    from sstem_tpu.compat.config import NoneDict
+    from sstem_tpu.cli.train_sp_fusion import build
+    from sstem_tpu.data.providers import SPDataset, write_sp_txt
+    from sstem_tpu.data.synthetic import synth_stack
+
+    root = str(tmp_path) + "/"
+    stack = synth_stack(4, 96, 96, seed=14)
+    stem = "0001"
+    names = [f"{stem}_1.png", f"{stem}_2.png", f"{stem}_2_degra.png",
+             f"{stem}_3.png", f"{stem}_3_degra.png", f"{stem}_4.png",
+             f"{stem}_2_degra_maska.png", f"{stem}_3_degra_maska.png",
+             f"{stem}_2_degra_maskb.png", f"{stem}_3_degra_maskb.png",
+             f"{stem}_2_interp.png", f"{stem}_3_interp.png"]
+    for j, n in enumerate(names):
+        Image.fromarray(stack[j % 4]).save(root + n)
+    write_sp_txt(root, 1)
+
+    cfg = NoneDict({
+        "mode": "a", "base_lr": 1e-4, "kernel_size": 5,
+        "vfi_lr_weight": 1e-20, "denoise_lr_weight": 1e-6,
+        "if_fusion_loss_only": False,
+    })
+    models, opt, train_step, eval_fn, mode = build(cfg, steps_per_epoch=1)
+    vfi, denoise, fusion = models
+
+    ds = SPDataset(root, root + "sp_train_data.txt", patch_size=64)
+    batch = jax.tree_util.tree_map(
+        lambda *xs: np.stack(xs), *[ds.sample(np.random.default_rng(0))]
+    )
+    batch = jax.device_put(batch)
+
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    v_vfi = jax.jit(vfi.init)(k1, jnp.zeros((1, 64, 64, 6), jnp.float32))
+    v_den = jax.jit(lambda k, x: denoise.init(k, x, train=True))(
+        k2, jnp.zeros((1, 64, 64, 1), jnp.float32))
+    v_fus = jax.jit(lambda k, a, b: fusion.init(k, a, b, train=True))(
+        k3, jnp.zeros((1, 64, 64, 1), jnp.float32),
+        jnp.zeros((1, 64, 64, 1), jnp.float32))
+    state = TrainState.create(
+        {"vfi": v_vfi["params"], "denoise": v_den["params"],
+         "fusion": v_fus["params"]},
+        opt,
+        batch_stats={"denoise": v_den["batch_stats"],
+                     "fusion": v_fus["batch_stats"]},
+    )
+    state, m = train_step(state, batch)
+    assert np.isfinite(float(m["loss"]))
+    assert np.isfinite(float(m["loss_fusion"]))
+    # vfi branch is effectively frozen by its 1e-20 LR weight
+    assert int(state.step) == 1
