@@ -97,9 +97,11 @@ def main():
         return float(jnp.stack(outs).sum())
 
     run(DAMAGED[:1])  # warmup / compile
-    t0 = time.time()
-    run(DAMAGED)
-    dt = time.time() - t0
+    # best-of-3: the chip may be shared/preempted; report achievable rate
+    dt = min(
+        (lambda t0: (run(DAMAGED), time.time() - t0)[1])(time.time())
+        for _ in range(3)
+    )
 
     mpix = len(DAMAGED) * SECTION * SECTION / 1e6
     mps = mpix / dt

@@ -104,6 +104,37 @@ def scaled_center(mask, scale):
     return scaled_fill(mask, scale, thresh=40)
 
 
+def area_scales(area):
+    """Ring-count schedule by blob area (fill_contours.AreaScales_unified,
+    fill_contours.py:19-30): bigger blobs get more concentric rings."""
+    if area <= 5000:
+        n = 20
+    elif area <= 15000:
+        n = 25
+    elif area <= 30000:
+        n = 35
+    elif area <= 80000:
+        n = 50
+    else:
+        n = 70
+    return np.linspace(1.0, 0.05, n)
+
+
+def opening(mask):
+    """3x3 morphological opening (fill_contours.Opening)."""
+    k = np.ones((3, 3), np.uint8)
+    return cv2.morphologyEx(mask.astype(np.float64), cv2.MORPH_OPEN,
+                            kernel=k, iterations=1).astype(np.uint8)
+
+
+def dis_trans_alpha(mask):
+    """10-iteration binary erosion to uint8 (fill_contours.DisTransAlpha)."""
+    from scipy.ndimage import binary_erosion
+
+    out = binary_erosion(mask, iterations=10, border_value=1)
+    return (out * 255).astype(np.uint8)
+
+
 def average_alpha(area):
     """Cubic fit of mean artifact intensity vs area (fill_contours.py:34-41)."""
     return (-9.662e-17 * area**3 + 4.709e-11 * area**2
@@ -266,7 +297,10 @@ class MaskBank:
             mask01 = np.zeros_like(blob)
             cv2.fillPoly(mask01, [contour], 255)
             mask10 = 255 - mask01
-            grad = np.clip(radial_alpha_map(mask01, area) * 255.0, 0, 255)
+            n_rings = len(area_scales(area))  # Fill_alphaMap ring schedule
+            grad = np.clip(
+                radial_alpha_map(mask01, area, n_rings=n_rings) * 255.0,
+                0, 255)
             bank.masks.append(grad.astype(np.uint8))
             bank.mask10s.append(mask10.astype(np.float64) / 255.0)
             bank.mask01s.append(mask01.astype(np.float64) / 255.0)

@@ -11,6 +11,8 @@ and XLA fuses it with surrounding ops.
 
 import functools
 
+import jax
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -29,6 +31,53 @@ def _taps(in_size: int, out_size: int):
     return lo, hi, frac
 
 
+@functools.lru_cache(maxsize=64)
+def _shift_weights_2x(in_size: int):
+    """For exact 2x upsampling, decompose the two-tap lerp into three
+    shifted repeat-interleave views: out[o] = sum_s w_s[o] * x[clip(o//2+s)].
+
+    The source index lo(o) = floor(o*(in-1)/(2*in-1)) drifts from o//2 by at
+    most 1, so {-1, 0, +1} shifts cover every tap. Repeats + elementwise
+    FMAs replace the gathers (TPU gathers are slow; repeats are relayouts).
+    """
+    out_size = 2 * in_size
+    lo, hi, frac = _taps(in_size, out_size)
+    base = np.arange(out_size) // 2
+    weights = []
+    for s in (-1, 0, 1):
+        # exact (unclipped) offsets: lo-base in {-1,0}, hi-base in {0,1},
+        # so each tap lands on exactly one shift (no clip collisions)
+        w = np.where(lo - base == s, 1.0 - frac, 0.0)
+        w = w + np.where(hi - base == s, frac, 0.0)
+        weights.append(w.astype(np.float32))
+    return weights
+
+
+def _upsample2x_axis(x, axis):
+    h = x.shape[axis]
+    weights = _shift_weights_2x(h)
+    out = None
+    for s, w in zip((-1, 0, 1), weights):
+        idx = np.clip(np.arange(h) + s, 0, h - 1)
+        if s == 0:
+            shifted = x
+        elif s == -1:
+            shifted = jnp.concatenate(
+                [jax.lax.slice_in_dim(x, 0, 1, axis=axis),
+                 jax.lax.slice_in_dim(x, 0, h - 1, axis=axis)], axis=axis)
+        else:
+            shifted = jnp.concatenate(
+                [jax.lax.slice_in_dim(x, 1, h, axis=axis),
+                 jax.lax.slice_in_dim(x, h - 1, h, axis=axis)], axis=axis)
+        view = jnp.repeat(shifted, 2, axis=axis)
+        shape = [1] * x.ndim
+        shape[axis] = 2 * h
+        wv = jnp.asarray(w).reshape(shape).astype(x.dtype)
+        term = view * wv
+        out = term if out is None else out + term
+    return out
+
+
 def upsample_bilinear_align_corners(x, scale_factor: int = 2, out_hw=None):
     """Bilinear resize of NHWC input with align_corners=True (torch parity).
 
@@ -42,6 +91,10 @@ def upsample_bilinear_align_corners(x, scale_factor: int = 2, out_hw=None):
         oh, ow = h * scale_factor, w * scale_factor
     else:
         oh, ow = out_hw
+
+    if oh == 2 * h and ow == 2 * w:
+        # gather-free fast path for the ubiquitous exact-2x case
+        return _upsample2x_axis(_upsample2x_axis(x, 1), 2)
 
     lo, hi, frac = _taps(h, oh)
     fr = jnp.asarray(frac)[None, :, None, None].astype(x.dtype)
