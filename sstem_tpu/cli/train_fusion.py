@@ -121,7 +121,8 @@ def main(argv=None):
 
     ds = FusionTrainDataset(
         cfg.DATA.folder_name, cfg.DATA.train_txt, cfg.DATA.interp_train_txt,
-        crop_size=cfg.DATA.patch_size[0], det_size=256,
+        crop_size=cfg.DATA.patch_size[0],
+        det_size=cfg.DATA.get("det_size", 256),
         gt_line=cfg.DATA.get("gt_line", False), aug=aug_from_cfg(cfg.DATA),
     )
     provider = Provider(ds, tr.batch_size, seed=tr.random_seed)
@@ -133,7 +134,8 @@ def main(argv=None):
         except FileNotFoundError:
             logger.warning("valid list missing; validation disabled")
 
-    sample_in = jnp.zeros((1, 256, 256, 6), jnp.float32)
+    det = cfg.DATA.get("det_size", 256)
+    sample_in = jnp.zeros((1, det, det, 6), jnp.float32)
     variables = jax.jit(lambda k, x: unet.init(k, x, train=True))(
         jax.random.PRNGKey(int(rng.integers(1 << 30))), sample_in
     )

