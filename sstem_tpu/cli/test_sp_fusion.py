@@ -36,6 +36,7 @@ def main(argv=None):
     parser.add_argument("-im4", "--img4", required=True)
     parser.add_argument("-sp", "--save_path", required=True)
     parser.add_argument("-mGPU", "--if_multi_gpu", default=None)
+    parser.add_argument("--kernel-size", type=int, default=51)
     args = parser.parse_args(argv)
 
     t0 = time.time()
@@ -46,6 +47,7 @@ def main(argv=None):
         vfi_vars=load_model_variables(vfi, "ifnet_sp"),
         denoise_vars=load_model_variables(den, "unet_sp"),
         fusion_vars=load_model_variables(fus, "unet_sp"),
+        kernel_size=args.kernel_size,
     )
 
     def rd(name):

@@ -27,11 +27,13 @@ def main(argv=None):
     parser.add_argument("-im2", "--input_img2", required=True)
     parser.add_argument("-sp", "--save_path", required=True)
     parser.add_argument("-mGPU", "--if_multi_gpu", default=None)
+    parser.add_argument("--kernel-size", type=int, default=51)
     args = parser.parse_args(argv)
 
     t0 = time.time()
     pipe = SPPipeline(
-        vfi_vars=load_model_variables(args.model_path, "ifnet_sp")
+        vfi_vars=load_model_variables(args.model_path, "ifnet_sp"),
+        kernel_size=args.kernel_size,
     )
     img1 = np.asarray(Image.open(
         os.path.join(args.input_data_path, args.input_img1)))
