@@ -109,21 +109,24 @@ class SFFPipeline:
         resolution are HBM-heavy, ~1.3 GB per section). Returns
         {id: {'interp', 'fused', 'stitch', ...}} with numpy uint8 images.
         """
-        stack = np.asarray(stack)
+        # one host->HBM transfer for the whole stack (uint8; a 25x1250^2
+        # stack is ~39 MB); per-section inputs are device-side slices, so
+        # successive chunks pipeline behind the async dispatch queue
+        dev_stack = jax.device_put(np.asarray(stack))
         results = {}
         for s in range(0, len(damaged_ids), chunk):
             ids = damaged_ids[s:s + chunk]
             if len(ids) < chunk and s > 0:
                 ids = damaged_ids[len(damaged_ids) - chunk:]  # keep shape
-            results.update(self._restore_ids(stack, ids))
+            results.update(self._restore_ids(dev_stack, ids))
         return results
 
     def _restore_ids(self, stack, damaged_ids):
-        prev_ = np.stack([stack[i - 1] for i in damaged_ids])
-        next_ = np.stack([stack[i + 1] for i in damaged_ids])
-        interp = self.interpolate(jnp.asarray(prev_), jnp.asarray(next_))
+        prev_ = jnp.stack([stack[i - 1] for i in damaged_ids])
+        next_ = jnp.stack([stack[i + 1] for i in damaged_ids])
+        interp = self.interpolate(prev_, next_)
         out = self.restore(
-            jnp.asarray(np.stack([stack[i] for i in damaged_ids])),
+            jnp.stack([stack[i] for i in damaged_ids]),
             interp * 255.0,
         )
         results = {}

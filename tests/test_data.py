@@ -171,3 +171,34 @@ def test_sp_dataset(tmp_path):
     # reversed masks complement originals
     s = batch["img_2_degraB1_mask_gradall"] + batch["img_2_degraB1_mask_gradall_r"]
     np.testing.assert_allclose(s, 1.0, atol=1 / 255 + 1e-6)
+
+
+def test_validset_builder_and_epe_loop(tmp_path):
+    """Generated valid set loads through UnfoldingValidDataset and drives the
+    EPE validation loop."""
+    import jax
+
+    from sstem_tpu.cli._sff import epe_valid_loop
+    from sstem_tpu.data.providers import UnfoldingValidDataset
+    from sstem_tpu.data.validset import make_unfolding_validset
+    from sstem_tpu.models import FusionNet
+
+    root = str(tmp_path / "tree")
+    write_triplet_tree(root, n_triplets=2, size=160, seed=13)
+    with open(f"{root}/train_data.txt") as f:
+        rows = [r.split() for r in f.read().splitlines()]
+
+    out = str(tmp_path / "valid")
+    made = make_unfolding_validset(root, out, rows, crop=100, det=64, seed=1)
+    assert len(made) == 2
+
+    ds = UnfoldingValidDataset(out, "unfolding_valid.txt")
+    im, flow2 = ds[0]
+    assert im.shape == (64, 64, 6) and flow2.shape == (64, 64, 2)
+
+    model = FusionNet(output_nc=2, ngf=4)
+    variables = jax.jit(lambda k, x: model.init(k, x, train=True))(
+        jax.random.PRNGKey(0), jnp.asarray(im[None]))
+    eval_fn = jax.jit(lambda v, x: model.apply(v, x, train=False))
+    epe = epe_valid_loop(eval_fn, variables, ds)
+    assert np.isfinite(epe) and epe >= 0
