@@ -49,7 +49,8 @@ def main(argv=None):
     )
     interp_vars = load_model_variables(ckpt, "ifnet_sff")
     pipe = SFFPipeline(interp_vars=interp_vars,
-                       kernel_size=cfg.TRAIN.kernel_size)
+                       kernel_size=cfg.TRAIN.kernel_size,
+                       pad=int(cfg.get("TEST", {}).get("pad", 0) or 0))
 
     total_psnr, total_ssim = [], []
     t1 = time.time()

@@ -32,6 +32,7 @@ def main(argv=None):
     pipe = SFFPipeline(
         interp_vars=load_model_variables(ckpt, "ifnet_sff"),
         kernel_size=cfg.TRAIN.kernel_size,
+        pad=int(cfg.get("TEST", {}).get("pad", 0) or 0),
     )
     img1 = np.asarray(Image.open(args.img1))
     img2 = np.asarray(Image.open(args.img2))

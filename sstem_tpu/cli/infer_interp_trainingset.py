@@ -35,6 +35,7 @@ def main(argv=None):
     pipe = SFFPipeline(
         interp_vars=load_model_variables(ckpt, "ifnet_sff"),
         kernel_size=cfg.TRAIN.kernel_size,
+        pad=int(cfg.get("TEST", {}).get("pad", 0) or 0),
     )
 
     out_dir = os.path.join(folder, "interp_train_data")

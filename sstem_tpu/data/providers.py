@@ -346,6 +346,23 @@ class SPDataset:
     def sample(self, rng):
         return self.get(rng.integers(0, len(self.rows)), rng)
 
+    @staticmethod
+    def dilate_mask(mask, thickness):
+        """cv2 dilation (reference DilateMask, dataset.py:238-243 — unused
+        by the reference trainers; provided for surface parity)."""
+        import cv2
+
+        k = np.ones((thickness, thickness), np.uint8)
+        return cv2.dilate(np.asarray(mask), k, iterations=1)
+
+    @staticmethod
+    def erode_mask(mask, thickness):
+        """cv2 erosion (reference ErodeMask, dataset.py:245-250)."""
+        import cv2
+
+        k = np.ones((thickness, thickness), np.uint8)
+        return cv2.erode(np.asarray(mask), k, iterations=1)
+
 
 class Provider:
     """Infinite batched stream with background prefetch -> device arrays.

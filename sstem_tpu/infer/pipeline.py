@@ -47,6 +47,8 @@ class SFFPipeline:
     fusion_vars: Optional[dict] = None
     kernel_size: int = 51
     ngf: int = 32
+    pad: int = 0  # cfg.TEST.pad parity: symmetric zero pad before the model,
+                  # negative pad (crop) after (main_ms.py:186-191)
 
     def __post_init__(self):
         self.interp_model = IFNet(kernel_size=self.kernel_size, n_frames=1)
@@ -72,8 +74,13 @@ class SFFPipeline:
         clip=False reproduces the reference interp inference, which casts
         (pred*255) to uint8 without clipping (inference.py:89)."""
         x = _gray6(_to01(prev_imgs), _to01(next_imgs))
+        if self.pad:
+            p = self.pad
+            x = jnp.pad(x, [(0, 0), (p, p), (p, p), (0, 0)])
         x, (h, w) = pad_to_multiple(x, 32)
         pred = self._interp_fn(self.interp_vars, x)[:, :h, :w, 0]
+        if self.pad:
+            pred = pred[:, self.pad:-self.pad, self.pad:-self.pad]
         return jnp.clip(pred, 0.0, 1.0) if clip else pred
 
     def restore(self, degraded_imgs, interp_imgs):

@@ -66,12 +66,12 @@ def run_training(*, provider, train_step, state, total_iters,
             sum_time += time.time() - t1
             lr = float(schedule(iters)) if schedule else float("nan")
             denom = display_freq if iters > 1 else 1
+            per_step = sum_time / max(denom, 1)
             line = (
                 "step %d, loss = %.6f (lr: %.8f, et: %.2f sec, "
                 "rd: %.2f min)" % (
                     iters, loss, lr, sum_time,
-                    (total_iters - iters) / max(denom, 1)
-                    * sum_time / max(denom, 1) / 60,
+                    (total_iters - iters) * per_step / 60,
                 )
             )
             logger.info(line)
