@@ -34,6 +34,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # persistent compile cache: repeat bench runs skip the ~minutes-long
+    # XLA compile of the full-section pipeline
+    jax.config.update("jax_compilation_cache_dir", "/tmp/sstem_tpu_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     import sstem_tpu.config as cfg
     from sstem_tpu.data.synthetic import synth_stack
     from sstem_tpu.infer.pipeline import SFFPipeline
@@ -86,21 +91,28 @@ def main():
     stack_p = np.pad(stack, [(0, 0), (0, pad), (0, pad)], mode="edge")
     dev_stack = jnp.asarray(stack_p)
 
-    def run(ids):
-        # queue all sections, then one device sync (keeps the host link out
-        # of the measurement; on-device dependencies serialize the work)
-        outs = [restore_jit(
-            interp_vars, flow_vars, fusion_vars,
-            dev_stack[i - 1:i], dev_stack[i + 1:i + 2],
-            dev_stack[i:i + 1],
-        ) for i in ids]
+    def run(ids, b=2):
+        # sections processed b at a time (better chip utilization; K=51 tap
+        # maps are ~1.3 GB HBM per section, so small batches only); queue
+        # everything, then one device sync (keeps the host link out of the
+        # measurement; on-device dependencies serialize the work)
+        outs = []
+        for s in range(0, len(ids), b):
+            grp = ids[s:s + b]
+            if len(grp) < b:
+                grp = ids[-b:]
+            prev = jnp.stack([dev_stack[i - 1] for i in grp])
+            nxt = jnp.stack([dev_stack[i + 1] for i in grp])
+            deg = jnp.stack([dev_stack[i] for i in grp])
+            outs.append(restore_jit(interp_vars, flow_vars, fusion_vars,
+                                    prev, nxt, deg))
         return float(jnp.stack(outs).sum())
 
-    run(DAMAGED[:1])  # warmup / compile
-    # best-of-3: the chip may be shared/preempted; report achievable rate
+    run(DAMAGED[:2])  # warmup / compile
+    # best-of-2: the chip may be shared/preempted; report achievable rate
     dt = min(
         (lambda t0: (run(DAMAGED), time.time() - t0)[1])(time.time())
-        for _ in range(3)
+        for _ in range(2)
     )
 
     mpix = len(DAMAGED) * SECTION * SECTION / 1e6
