@@ -44,7 +44,7 @@ def make_optimizer(schedule, weight_decay=None, b1=0.9, b2=0.999, eps=1e-8):
 
 
 def make_train_step(loss_fn: Callable, opt, has_batch_stats: bool = False,
-                    mesh=None, donate: bool = True):
+                    mesh=None, donate: bool = True, remat: bool = False):
     """Build a compiled train step.
 
     loss_fn(params, batch_stats, batch) ->
@@ -53,7 +53,11 @@ def make_train_step(loss_fn: Callable, opt, has_batch_stats: bool = False,
 
     Returns step(state, batch) -> (state, metrics). If ``mesh`` is given, the
     batch is sharded over its 'data' axis and the state is replicated.
+    remat=True rematerializes the forward during backward (jax.checkpoint):
+    trades FLOPs for activation memory, enabling larger batches/crops.
     """
+    if remat:
+        loss_fn = jax.checkpoint(loss_fn)
 
     def step_fn(state: TrainState, batch):
         grad_fn = jax.value_and_grad(loss_fn, has_aux=True)

@@ -258,3 +258,35 @@ def test_sp_fusion_trainer_builds_and_steps(tmp_path):
     assert np.isfinite(float(m["loss_fusion"]))
     # vfi branch is effectively frozen by its 1e-20 LR weight
     assert int(state.step) == 1
+
+
+def test_remat_train_step_matches_plain():
+    """jax.checkpoint'd step computes identical updates (memory/flops trade)."""
+    from flax import linen as nn
+
+    class Tiny(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            x = nn.relu(nn.Conv(4, (3, 3), padding="SAME")(x))
+            return nn.Conv(1, (3, 3), padding="SAME")(x)
+
+    model = Tiny()
+    x = jnp.asarray(RNG.standard_normal((2, 8, 8, 1)), jnp.float32)
+    y = x * 0.3
+
+    def loss_fn(params, _, batch):
+        xx, yy = batch
+        return jnp.mean((model.apply({"params": params}, xx) - yy) ** 2), {}
+
+    opt = make_optimizer(lambda s: 1e-2)
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    s1 = TrainState.create(jax.tree.map(jnp.copy, params), opt)
+    s2 = TrainState.create(jax.tree.map(jnp.copy, params), opt)
+    step_plain = make_train_step(loss_fn, opt)
+    step_remat = make_train_step(loss_fn, opt, remat=True)
+    s1, m1 = step_plain(s1, (x, y))
+    s2, m2 = step_remat(s2, (x, y))
+    assert np.isclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s1.params),
+                    jax.tree_util.tree_leaves(s2.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5)
