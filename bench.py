@@ -76,7 +76,7 @@ def main():
              jnp.repeat(pad_to_multiple(
                  interp[..., None], 32)[0], 3, -1)], axis=-1)
         flow = pipe.flow_model.apply(fv, x2, train=False)
-        warped = spatial_transform(x2[..., 0:3], flow)
+        warped = jnp.repeat(spatial_transform(x2[..., 0:1], flow), 3, -1)
         fused_in = jnp.concatenate([warped, x2[..., 3:6]], axis=-1)
         pred = pipe.fusion_model.apply(uv, fused_in, train=False)
         w8 = jnp.floor(jnp.clip(jnp.mean(warped, -1), 0, 1) * 255.0)

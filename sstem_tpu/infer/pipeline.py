@@ -60,7 +60,9 @@ class SFFPipeline:
 
         def restore_fn(flow_v, fusion_v, inputs):
             flow = self.flow_model.apply(flow_v, inputs, train=False)
-            warped = spatial_transform(inputs[..., 0:3], flow)
+            # the degraded channels are gray replicated x3 — warp once
+            warped1 = spatial_transform(inputs[..., 0:1], flow)
+            warped = jnp.repeat(warped1, 3, axis=-1)
             fused_in = jnp.concatenate([warped, inputs[..., 3:6]], axis=-1)
             pred = self.fusion_model.apply(fusion_v, fused_in, train=False)
             return pred, flow, warped
