@@ -57,6 +57,9 @@ def main(argv=None):
     parser.add_argument("-m", "--mode", type=str, default="train")
     parser.add_argument("--config-dir", type=str, default="./config")
     parser.add_argument("--max-iters", type=int, default=None)
+    parser.add_argument("--device-datagen", action="store_true",
+                        help="run fold synthesis + labels inside the jitted "
+                             "train step (host streams raw crops only)")
     args = parser.parse_args(argv)
 
     cfg = load_sff_config(args.cfg, args.config_dir)
@@ -68,13 +71,38 @@ def main(argv=None):
 
     model, opt, train_step, eval_fn, schedule, mesh = build(cfg)
 
-    ds = UnfoldingTrainDataset(
-        cfg.DATA.folder_name, cfg.DATA.train_txt, cfg.DATA.interp_train_txt,
-        crop_size=cfg.DATA.patch_size[0],
-        det_size=cfg.DATA.get("det_size", 256), label="flow",
-        line_width_range=(5, 50), gt_line=cfg.DATA.get("gt_line", False),
-        aug=aug_from_cfg(cfg.DATA),
-    )
+    det = cfg.DATA.get("det_size", 256)
+    if args.device_datagen:
+        from sstem_tpu.data.providers import RawCropPairDataset
+        from sstem_tpu.train.device_datagen import make_device_datagen_step
+
+        ds = RawCropPairDataset(
+            cfg.DATA.folder_name, cfg.DATA.train_txt,
+            cfg.DATA.interp_train_txt, crop_size=cfg.DATA.patch_size[0],
+            aug=aug_from_cfg(cfg.DATA),
+        )
+        raw_step = make_device_datagen_step(
+            model, opt, mesh=mesh, det_size=det,
+            seed=int(tr.random_seed or 0),
+        )
+
+        class _StepCounter:
+            n = 0
+
+        def train_step(state, batch):  # noqa: F811 - datagen-in-step variant
+            clean, interp = batch
+            _StepCounter.n += 1
+            return raw_step(state, (clean, interp,
+                                    jnp.asarray(_StepCounter.n)))
+    else:
+        ds = UnfoldingTrainDataset(
+            cfg.DATA.folder_name, cfg.DATA.train_txt,
+            cfg.DATA.interp_train_txt,
+            crop_size=cfg.DATA.patch_size[0],
+            det_size=det, label="flow",
+            line_width_range=(5, 50), gt_line=cfg.DATA.get("gt_line", False),
+            aug=aug_from_cfg(cfg.DATA),
+        )
     provider = Provider(ds, tr.batch_size, seed=tr.random_seed)
     valid_ds = None
     if tr.if_valid and cfg.DATA.get("valid_txt"):
@@ -84,7 +112,6 @@ def main(argv=None):
         except FileNotFoundError:
             logger.warning("valid list missing; validation disabled")
 
-    det = cfg.DATA.get("det_size", 256)
     sample_in = jnp.zeros((1, det, det, 6), jnp.float32)
     variables = jax.jit(lambda k, x: model.init(k, x, train=True))(
         jax.random.PRNGKey(int(rng.integers(1 << 30))), sample_in
@@ -132,7 +159,8 @@ def main(argv=None):
         save_path=paths["save_path"], valid_path=paths["valid_path"],
         display_freq=tr.display_freq, valid_freq=tr.valid_freq,
         save_freq=tr.save_freq, valid_fn=valid_fn,
-        preview_fn=preview_fn, writer=writer, logger=logger,
+        preview_fn=None if args.device_datagen else preview_fn,
+        writer=writer, logger=logger,
         start_iter=start_iter, schedule=schedule,
     )
     provider.close()

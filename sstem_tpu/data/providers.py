@@ -187,6 +187,37 @@ class UnfoldingTrainDataset:
         return np.transpose(im, (1, 2, 0)), lb
 
 
+class RawCropPairDataset:
+    """(clean crop, interp crop) uint8 pairs for the on-device-datagen
+    trainer (sstem_tpu.train.device_datagen): the host only crops and
+    augments; degradation/labels happen inside the jitted train step."""
+
+    def __init__(self, folder, train_txt, interp_txt, crop_size=400,
+                 aug: AugConfig = None):
+        self.cache = _ImageCache(folder)
+        with open(os.path.join(folder, train_txt)) as f:
+            self.rows = [r.strip().split(" ") for r in f if r.strip()]
+        with open(os.path.join(folder, interp_txt)) as f:
+            self.interp_rows = [r.strip() for r in f if r.strip()]
+        assert len(self.rows) == len(self.interp_rows)
+        self.crop_size = crop_size
+        self.aug = aug or AugConfig()
+
+    def sample(self, rng):
+        a = self.aug
+        kk = rng.integers(0, len(self.rows))
+        clean = self.cache(self.rows[kk][1])
+        interp = self.cache(self.interp_rows[kk])
+        c = self.crop_size
+        h, w = clean.shape
+        i = rng.integers(0, h - c + 1)
+        j = rng.integers(0, w - c + 1)
+        stack = np.stack([clean[i:i + c, j:j + c], interp[i:i + c, j:j + c]])
+        stack = augment.dihedral(stack, rng, a.random_fliplr, a.random_flipud,
+                                 a.random_flipz, a.random_rotation)
+        return stack[0].astype(np.float32), stack[1].astype(np.float32)
+
+
 class FusionTrainDataset(UnfoldingTrainDataset):
     """Fusion trainer dataset: clean-crop labels, line_width 5..20."""
 

@@ -132,3 +132,59 @@ def test_full_sff_chain(tmp_path):
         for k in ("interp", "fused", "stitch", "warped"):
             assert out[i][k].shape == (96, 96)
             assert out[i][k].dtype == np.uint8
+
+
+@pytest.mark.slow
+def test_unfolding_trainer_device_datagen(tmp_path):
+    """--device-datagen path: host streams raw crops, degradation in-step."""
+    from sstem_tpu.cli import train_unfolding
+
+    data = str(tmp_path / "data")
+    write_triplet_tree(data, n_triplets=2, size=160, seed=15)
+    with open(os.path.join(data, "train_data.txt")) as f:
+        rows = [r.split() for r in f.read().splitlines()]
+    with open(os.path.join(data, "interp_train_data.txt"), "w") as f:
+        f.write("\n".join(r[1] for r in rows) + "\n")
+
+    cfg = {
+        "NAME": "unfold_dev",
+        "TRAIN": {
+            "resume": False, "if_valid": False,
+            "cache_path": str(tmp_path / "caches"),
+            "save_path": str(tmp_path / "models"),
+            "input_nc": 6, "output_nc": 2, "ngf": 4, "pad": 0,
+            "loss": "L1", "kernel_size": 5, "total_iters": 2,
+            "warmup_iters": 0, "base_lr": 1e-3, "end_lr": 1e-4,
+            "display_freq": 1, "valid_freq": 2, "save_freq": 2,
+            "decay_iters": 100, "weight_decay": None, "power": 1.5,
+            "batch_size": 2, "num_workers": 1, "is_cuda": False,
+            "random_seed": 555,
+        },
+        "DATA": {
+            "folder_name": data, "train_txt": "train_data.txt",
+            "interp_train_txt": "interp_train_data.txt",
+            "patch_size": [100, 100], "det_size": 64,
+            "AUG": {
+                "random_fliplr": True, "random_flipud": True,
+                "random_flipz": True, "random_rotation": True,
+                "swap": False, "color_jitter": False,
+                "COLOR": {"brightness": 0.2, "contrast": 0.2,
+                          "saturation": 0.2},
+                "elastic_trans": False,
+                "ELASTIC": {"alpha_range": 100, "sigma": 10, "shave": 20},
+                "gauss_noise": False,
+                "GAUSS": {"gauss_mean": 0, "gauss_sigma": 0.001},
+            },
+        },
+        "TEST": {"pad": 0},
+    }
+    import yaml as _yaml
+
+    cfg_path = str(tmp_path / "cfg.yaml")
+    with open(cfg_path, "w") as f:
+        _yaml.safe_dump(cfg, f)
+    train_unfolding.main(["-c", cfg_path, "--max-iters", "2",
+                          "--device-datagen"])
+    models_dir = glob.glob(str(tmp_path / "models" / "*"))
+    assert models_dir
+    assert glob.glob(os.path.join(models_dir[-1], "model-*.ckpt"))
