@@ -202,3 +202,35 @@ def test_validset_builder_and_epe_loop(tmp_path):
     eval_fn = jax.jit(lambda v, x: model.apply(v, x, train=False))
     epe = epe_valid_loop(eval_fn, variables, ds)
     assert np.isfinite(epe) and epe >= 0
+
+
+def test_device_degradation_distributional_parity():
+    """Host and device SFF degradation produce comparable fold statistics
+    (distributional, not bitwise — different RNGs by design, SURVEY §7)."""
+    from sstem_tpu.data.sim_sff import degrade_sff, degrade_sff_batch_jax
+
+    img = synth_stack(1, 200, 200, seed=17)[0]
+    host_zero, host_mag = [], []
+    rng = np.random.default_rng(3)
+    for _ in range(6):
+        d = degrade_sff(img, rng, det_size=128, line_width_range=(5, 30))
+        host_zero.append((d["degraded"] == 0).mean())
+        m = np.linalg.norm(d["flow2"], axis=-1)
+        host_mag.append(m[m > 0].mean() if (m > 0).any() else 0.0)
+
+    imgs = jnp.asarray(np.repeat(img[None], 6, 0).astype(np.float32))
+    deg, flow2 = degrade_sff_batch_jax(
+        imgs, jax.random.PRNGKey(5), det_size=128, candidates=4,
+        line_width_range=(5, 30),
+    )
+    deg = np.asarray(deg)
+    flow2 = np.asarray(flow2)
+    dev_zero = [(deg[b] == 0).mean() for b in range(6)]
+    dev_mag = []
+    for b in range(6):
+        m = np.linalg.norm(flow2[b], axis=-1)
+        dev_mag.append(m[m > 0].mean() if (m > 0).any() else 0.0)
+
+    # same order of magnitude of fold coverage and displacement
+    assert 0.2 < np.mean(dev_zero) / max(np.mean(host_zero), 1e-6) < 5.0
+    assert 0.2 < np.mean(dev_mag) / max(np.mean(host_mag), 1e-6) < 5.0
