@@ -8,7 +8,11 @@ on tunneled rigs — see PERFORMANCE.md). Usage:
 """
 
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -43,7 +47,10 @@ def main():
     init_in = jnp.zeros((1, 256, 256, 6), jnp.float32)
 
     def bench(f, *fargs, name=""):
+        # two warmup rounds: first compiles, second absorbs post-compile
+        # slow-path effects observed on the shared pool
         float(jnp.sum(f(*fargs)))
+        float(jnp.stack([jnp.sum(f(*fargs)) for _ in range(2)]).sum())
         t0 = time.time()
         outs = [f(*fargs) for _ in range(args.iters)]
         float(jnp.stack([jnp.sum(o) for o in outs]).sum())

@@ -12,8 +12,12 @@ restoration metrics, BASELINE.md).
 """
 
 import argparse
+import os
+import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
