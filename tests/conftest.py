@@ -25,7 +25,10 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 
 # Persistent compilation cache: repeat pytest runs skip recompiles.
-jax.config.update("jax_compilation_cache_dir", "/tmp/sstem_tpu_jax_cache")
+# Backend-specific dir: a CPU artifact once loaded with mismatched host
+# machine features (SIGILL risk) when sharing a dir with remote-compiled
+# artifacts, so the CPU suite keeps its own cache.
+jax.config.update("jax_compilation_cache_dir", "/tmp/sstem_tpu_jax_cache_cpu")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import pytest  # noqa: E402
