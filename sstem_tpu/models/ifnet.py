@@ -25,13 +25,18 @@ from typing import Sequence
 import jax.numpy as jnp
 from flax import linen as nn
 
-from sstem_tpu.kernels import sepconv
+from sstem_tpu.kernels import sepconv, sepconv_planar
 from sstem_tpu.models.layers import (
     Conv2dTorch,
     avg_pool_2x2,
     orthogonal_relu_gain_init,
 )
-from sstem_tpu.ops import replication_pad_2d, upsample_bilinear_align_corners
+from sstem_tpu.config import matmul_precision
+from sstem_tpu.ops import (
+    replication_pad_2d,
+    upsample2x_planar_mxu,
+    upsample_bilinear_align_corners,
+)
 
 
 class _ConvModule(nn.Module):
@@ -63,9 +68,17 @@ class _UpsampleModule(nn.Module):
 
 
 class _KernelHead(nn.Module):
-    """conv(64,64)+relu x2, conv(64,K)+relu, upsample, conv(K,K)."""
+    """conv(64,64)+relu x2, conv(64,K)+relu, upsample, conv(K,K).
+
+    ``packed=True`` computes the identical math but returns the tap map in
+    planar (N, K, H, W) layout for direct consumption by ``sepconv_planar``
+    — the transposes surrounding conv3 fold into XLA's conv layout
+    assignment, so the full-resolution NHWC map (the hottest tensor in the
+    model at K=51) is never materialized channels-minor.
+    """
 
     taps: int
+    packed: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -74,6 +87,11 @@ class _KernelHead(nn.Module):
         x = nn.relu(Conv2dTorch(cin, kernel_init=init, name="conv0")(x))
         x = nn.relu(Conv2dTorch(cin, kernel_init=init, name="conv1")(x))
         x = nn.relu(Conv2dTorch(self.taps, kernel_init=init, name="conv2")(x))
+        if self.packed:
+            xp = jnp.transpose(x, (0, 3, 1, 2))
+            xp = upsample2x_planar_mxu(xp, precision=matmul_precision())
+            return Conv2dTorch(self.taps, kernel_init=init,
+                               data_format="NCHW", name="conv3")(xp)
         x = upsample_bilinear_align_corners(x, 2)
         x = Conv2dTorch(self.taps, kernel_init=init, name="conv3")(x)
         return x
@@ -96,6 +114,7 @@ class IFNet(nn.Module):
     kernel_size: int = 51
     n_frames: int = 1
     assume_gray: bool = True
+    packed: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -139,15 +158,28 @@ class IFNet(nn.Module):
             i2 = i2[..., 0:1]
         padded_i1 = replication_pad_2d(i1, pad)
         padded_i2 = replication_pad_2d(i2, pad)
+        if self.packed:
+            # planar images for the planar sepconv (free relayout at C<=3)
+            padded_i1 = jnp.transpose(padded_i1, (0, 3, 1, 2))
+            padded_i2 = jnp.transpose(padded_i2, (0, 3, 1, 2))
 
         outs = []
         for f in range(self.n_frames):
             sfx = "" if self.n_frames == 1 else f"_f{f + 1}"
-            k2h = _KernelHead(self.kernel_size, name=f"head2h{sfx}")(x)
-            k2v = _KernelHead(self.kernel_size, name=f"head2v{sfx}")(x)
-            k1h = _KernelHead(self.kernel_size, name=f"head1h{sfx}")(x)
-            k1v = _KernelHead(self.kernel_size, name=f"head1v{sfx}")(x)
-            y = sepconv(padded_i2, k2v, k2h) + sepconv(padded_i1, k1v, k1h)
+            k2h = _KernelHead(self.kernel_size, self.packed,
+                              name=f"head2h{sfx}")(x)
+            k2v = _KernelHead(self.kernel_size, self.packed,
+                              name=f"head2v{sfx}")(x)
+            k1h = _KernelHead(self.kernel_size, self.packed,
+                              name=f"head1h{sfx}")(x)
+            k1v = _KernelHead(self.kernel_size, self.packed,
+                              name=f"head1v{sfx}")(x)
+            if self.packed:
+                y = sepconv_planar(padded_i2, k2v, k2h) + sepconv_planar(
+                    padded_i1, k1v, k1h)
+                y = jnp.transpose(y, (0, 2, 3, 1))
+            else:
+                y = sepconv(padded_i2, k2v, k2h) + sepconv(padded_i1, k1v, k1h)
             if self.assume_gray:
                 outs.append(y)
             else:

@@ -68,8 +68,64 @@ def bn_scale_normal_init(key, shape, dtype=jnp.float32):
 # Layers
 # ---------------------------------------------------------------------------
 
+class _RawConv(nn.Module):
+    """Param-compatible stand-in for ``nn.Conv`` with free dimension numbers.
+
+    Declares the same ``kernel``/``bias`` params (same shapes, same init,
+    same scope path when named "Conv_0") but calls
+    ``lax.conv_general_dilated`` with caller-chosen input/output layouts —
+    used by the packed model paths to keep planar (NCHW) tensors planar
+    through a conv without relayout round-trips.
+    """
+
+    features: int
+    kernel_size: int
+    stride: int
+    padding: int
+    use_bias: bool
+    kernel_init: Callable
+    bias_init: Callable
+    dimension_numbers: tuple = ("NHWC", "HWIO", "NHWC")
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel_size
+        in_ch = x.shape[1] if self.dimension_numbers[0] == "NCHW" else x.shape[-1]
+        w = self.param("kernel", self.kernel_init, (k, k, in_ch, self.features))
+        cdt = compute_dtype()
+        if cdt is not None:
+            x = x.astype(cdt)
+            w = w.astype(cdt)
+        y = lax.conv_general_dilated(
+            x,
+            w,
+            window_strides=(self.stride, self.stride),
+            padding=[(self.padding, self.padding)] * 2,
+            dimension_numbers=self.dimension_numbers,
+            precision=matmul_precision(),
+        )
+        if self.use_bias:
+            b = self.param("bias", self.bias_init, (self.features,))
+            if cdt is not None:
+                b = b.astype(cdt)
+            if self.dimension_numbers[2] == "NCHW":
+                y = y + b[None, :, None, None]
+            else:
+                y = y + b
+        return y
+
+
 class Conv2dTorch(nn.Module):
-    """Conv2d with torch-style explicit padding and default torch init."""
+    """Conv2d with torch-style explicit padding and default torch init.
+
+    ``data_format`` selects the activation layout of the lax call while the
+    parameter tree stays identical to the default nn.Conv layout
+    ("Conv_0/kernel" (kh, kw, in, out), "Conv_0/bias"):
+      * "NHWC"     — default (nn.Conv).
+      * "NCHW"     — planar in, planar out.
+      * "NCHW_OUT" — NHWC in, planar out (conv output layout assignment
+        absorbs the transpose; used to emit sepconv tap maps).
+    """
 
     features: int
     kernel_size: int = 3
@@ -77,11 +133,23 @@ class Conv2dTorch(nn.Module):
     padding: int = 1
     use_bias: bool = True
     kernel_init: Callable = torch_conv_kernel_init
+    data_format: str = "NHWC"
 
     @nn.compact
     def __call__(self, x):
         k = self.kernel_size
-        fan_in = k * k * x.shape[-1]
+        cin = x.shape[1] if self.data_format == "NCHW" else x.shape[-1]
+        fan_in = k * k * cin
+        if self.data_format != "NHWC":
+            dims = {
+                "NCHW": ("NCHW", "HWIO", "NCHW"),
+                "NCHW_OUT": ("NHWC", "HWIO", "NCHW"),
+            }[self.data_format]
+            return _RawConv(
+                self.features, k, self.stride, self.padding, self.use_bias,
+                self.kernel_init, torch_conv_bias_init(fan_in),
+                dimension_numbers=dims, name="Conv_0",
+            )(x)
         return nn.Conv(
             self.features,
             (k, k),

@@ -1,10 +1,16 @@
 from sstem_tpu.ops.pad import replication_pad_2d
-from sstem_tpu.ops.resize import upsample_bilinear_align_corners
+from sstem_tpu.ops.resize import (
+    upsample2x_planar,
+    upsample2x_planar_mxu,
+    upsample_bilinear_align_corners,
+)
 from sstem_tpu.ops.warp import image_warp, spatial_transform
 from sstem_tpu.ops.flow import gen_line, gen_flow, gen_flow_np
 
 __all__ = [
     "replication_pad_2d",
+    "upsample2x_planar",
+    "upsample2x_planar_mxu",
     "upsample_bilinear_align_corners",
     "image_warp",
     "spatial_transform",

@@ -78,6 +78,47 @@ def _upsample2x_axis(x, axis):
     return out
 
 
+def upsample2x_planar(x):
+    """Exact-2x align_corners bilinear resize of planar (N, C, H, W) input.
+
+    Same shift-decomposed math as the NHWC fast path, applied on the
+    trailing spatial axes. Prefer ``upsample2x_planar_mxu`` on TPU — the
+    lane-interleaving repeat this variant does on the minor axis measures
+    ~12 ms per 51-channel 640->1280 map on v5e vs ~2-4 ms for the matmul
+    form.
+    """
+    return _upsample2x_axis(_upsample2x_axis(x, 2), 3)
+
+
+@functools.lru_cache(maxsize=64)
+def _up_matrix_2x(in_size: int):
+    """Dense (2*in, in) align_corners interpolation matrix (2 taps/row)."""
+    out_size = 2 * in_size
+    lo, hi, frac = _taps(in_size, out_size)
+    u = np.zeros((out_size, in_size), np.float32)
+    rows = np.arange(out_size)
+    np.add.at(u, (rows, lo), 1.0 - frac)
+    np.add.at(u, (rows, hi), frac)
+    return u
+
+
+def upsample2x_planar_mxu(x, precision=None):
+    """Exact-2x align_corners bilinear resize of planar input via two
+    matmuls with the (sparse, 2-tap) interpolation matrices densified.
+
+    The per-row-varying lerp weights of align_corners make the op a gather
+    (slow on TPU) or a lane-interleave (slow on the minor axis); as matmuls
+    the MXU eats the ~97% structural zeros and still wins by ~4x. With two
+    nonzero terms per output the matmul sum is the same two-term lerp sum,
+    so at HIGHEST precision the result matches the shift decomposition.
+    """
+    n, c, h, w = x.shape
+    uh = jnp.asarray(_up_matrix_2x(h))
+    uw = jnp.asarray(_up_matrix_2x(w))
+    y = jnp.einsum("Oh,nchw->ncOw", uh, x, precision=precision)
+    return jnp.einsum("ncow,Ww->ncoW", y, uw, precision=precision)
+
+
 def upsample_bilinear_align_corners(x, scale_factor: int = 2, out_hw=None):
     """Bilinear resize of NHWC input with align_corners=True (torch parity).
 

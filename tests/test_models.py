@@ -130,3 +130,39 @@ def test_unet_sp_odd_sizes_pad_to_match():
         lambda v, xx: model.apply(v, xx, train=True, mutable=["batch_stats"])
     )(variables, x)
     assert y.shape == (1, 48, 48, 1)
+
+
+def test_ifnet_packed_matches_unpacked():
+    """The packed (planar-map, TPU-optimized) path computes the same
+    function as the reference-layout path, for both frame counts."""
+    import sstem_tpu.config as cfg
+
+    cfg.set_matmul_precision("highest")
+    try:
+        for n_frames in (1, 2):
+            model = IFNet(kernel_size=5, n_frames=n_frames)
+            packed = IFNet(kernel_size=5, n_frames=n_frames, packed=True)
+            rng = np.random.default_rng(3)
+            x = jnp.asarray(rng.random((1, 64, 32, 6)), jnp.float32)
+            variables = model.init(jax.random.PRNGKey(0), x)
+            a = model.apply(variables, x)
+            b = packed.apply(variables, x)
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=2e-5, atol=2e-5)
+    finally:
+        cfg.set_matmul_precision("highest")
+
+
+def test_ifnet_packed_init_matches_unpacked_init():
+    """packed=True declares the identical parameter tree (same names,
+    shapes, and init values) — checkpoints are interchangeable."""
+    model = IFNet(kernel_size=5, n_frames=1)
+    packed = IFNet(kernel_size=5, n_frames=1, packed=True)
+    x = jnp.zeros((1, 32, 32, 6), jnp.float32)
+    va = model.init(jax.random.PRNGKey(7), x)
+    vb = packed.init(jax.random.PRNGKey(7), x)
+    flat_a = jax.tree_util.tree_leaves_with_path(va)
+    flat_b = jax.tree_util.tree_leaves_with_path(vb)
+    assert [p for p, _ in flat_a] == [p for p, _ in flat_b]
+    for (_, la), (_, lb) in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(la), np.asarray(lb))
