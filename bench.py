@@ -2,8 +2,13 @@
 
 Pipeline measured (the BASELINE "full CREMI-A stack" config): for each
 damaged 1250x1250 section — KPN interpolation from z-neighbors (Pallas
-sepconv, K=51), unfolding flow (FusionNet), differentiable warp, fusion
-U-Net, stitching composite — all fused on device via SFFPipeline.
+sepconv, K=51, planar packed path), unfolding flow (FusionNet),
+differentiable warp, fusion U-Net, stitching composite — all fused in one
+jitted program per section batch.
+
+Serving configuration: bf16 activations (f32 BN statistics and f32
+sepconv accumulation; quality budget tracked by tools/quality_check.py and
+SCORES.md), packed (planar tap-map) IFNet, 4 sections per launch.
 
 Baseline note: the reference publishes no numbers (BASELINE.md). The
 ``REFERENCE_GPU_MPS`` constant is an analytic estimate of the PyTorch
@@ -15,10 +20,18 @@ round-trips per section across the three chained processes; ~1 s/section
 (= ~1.6 MP/s) is the generous end of that envelope. vs_baseline is measured
 MP/s divided by this estimate (>= 10 meets the north star).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...} with
+the per-stage ms/section table and the hardware parity gate result inline
+so the number is auditable (VERDICT r1 items 1 and 3).
+
+Rig note (PERFORMANCE.md): this TPU sits behind a shared tunnel; the first
+~12 post-compile executions run a slow path, and achievable HBM bandwidth
+measures ~120 GB/s. The bench warms accordingly and reports best-of-2.
 """
 
 import json
+import subprocess
+import sys
 import time
 
 import numpy as np
@@ -28,6 +41,7 @@ REFERENCE_GPU_MPS = 1.6
 SECTION = 1250
 N_SECTIONS = 25
 DAMAGED = list(range(1, N_SECTIONS - 1, 2))  # 12 damaged sections
+BATCH = 4
 
 
 def main():
@@ -41,24 +55,25 @@ def main():
 
     import sstem_tpu.config as cfg
     from sstem_tpu.data.synthetic import synth_stack
-    from sstem_tpu.infer.pipeline import SFFPipeline
     from sstem_tpu.models import FusionNet, IFNet, UNetSFF
 
     cfg.set_matmul_precision("default")  # bf16 MXU passes; quality gates run
     # the parity harness at 'highest' separately (sstem_tpu/config.py)
+    cfg.set_compute_dtype("bfloat16")    # serving dtype; quality budget
+    # measured by tools/quality_check.py (<= 0.1 dB) on self-trained weights
 
     key = jax.random.PRNGKey(0)
     x6 = jnp.zeros((1, 256, 256, 6), jnp.float32)
+    interp_model = IFNet(51, 1, packed=True)
+    flow_model = FusionNet(output_nc=2)
+    fusion_model = UNetSFF(1)
     interp_vars = jax.jit(IFNet(51, 1).init)(key, x6)
     flow_vars = jax.jit(
-        lambda k, x: FusionNet(output_nc=2).init(k, x, train=True)
+        lambda k, x: flow_model.init(k, x, train=True)
     )(key, x6)
     fusion_vars = jax.jit(
-        lambda k, x: UNetSFF(1).init(k, x, train=True)
+        lambda k, x: fusion_model.init(k, x, train=True)
     )(key, x6)
-
-    pipe = SFFPipeline(interp_vars=interp_vars, flow_vars=flow_vars,
-                       fusion_vars=fusion_vars)
 
     # One fused jit per section batch: interp -> flow -> warp -> fusion ->
     # stitch, reduced to a checksum on device (bench isolates chip compute
@@ -67,18 +82,26 @@ def main():
     from sstem_tpu.infer.tiles import pad_to_multiple
     from sstem_tpu.ops import spatial_transform
 
-    def section_restore(iv, fv, uv, prev_img, next_img, degraded):
+    def interp_stage(iv, prev_img, next_img):
         x = _gray6(_to01(prev_img), _to01(next_img))
-        x, (h, w) = pad_to_multiple(x, 32)
-        interp = jnp.clip(pipe.interp_model.apply(iv, x)[..., 0], 0.0, 1.0)
+        x, _ = pad_to_multiple(x, 32)
+        interp = interp_model.apply(iv, x)[..., 0].astype(jnp.float32)
+        return jnp.clip(interp, 0.0, 1.0)
+
+    def restore_stage(fv, uv, degraded, interp):
         x2 = jnp.concatenate(
             [jnp.repeat(_to01(degraded)[..., None], 3, -1),
-             jnp.repeat(pad_to_multiple(
-                 interp[..., None], 32)[0], 3, -1)], axis=-1)
-        flow = pipe.flow_model.apply(fv, x2, train=False)
+             jnp.repeat(pad_to_multiple(interp[..., None], 32)[0], 3, -1)],
+            axis=-1)
+        flow = flow_model.apply(fv, x2, train=False).astype(jnp.float32)
         warped = jnp.repeat(spatial_transform(x2[..., 0:1], flow), 3, -1)
         fused_in = jnp.concatenate([warped, x2[..., 3:6]], axis=-1)
-        pred = pipe.fusion_model.apply(uv, fused_in, train=False)
+        pred = fusion_model.apply(uv, fused_in, train=False)
+        return pred.astype(jnp.float32), warped
+
+    def section_restore(iv, fv, uv, prev_img, next_img, degraded):
+        interp = interp_stage(iv, prev_img, next_img)
+        pred, warped = restore_stage(fv, uv, degraded, interp)
         w8 = jnp.floor(jnp.clip(jnp.mean(warped, -1), 0, 1) * 255.0)
         m = (w8 >= 2).astype(jnp.float32)
         stitch = interp * 255.0 * (1 - m) + w8 * m
@@ -91,11 +114,10 @@ def main():
     stack_p = np.pad(stack, [(0, 0), (0, pad), (0, pad)], mode="edge")
     dev_stack = jnp.asarray(stack_p)
 
-    def run(ids, b=2):
-        # sections processed b at a time (better chip utilization; K=51 tap
-        # maps are ~1.3 GB HBM per section, so small batches only); queue
-        # everything, then one device sync (keeps the host link out of the
-        # measurement; on-device dependencies serialize the work)
+    def run(ids, b=BATCH):
+        # sections processed b at a time; queue everything, then one device
+        # sync (keeps the host link out of the measurement; on-device
+        # dependencies serialize the work)
         outs = []
         for s in range(0, len(ids), b):
             grp = ids[s:s + b]
@@ -108,12 +130,47 @@ def main():
                                     prev, nxt, deg))
         return float(jnp.stack(outs).sum())
 
-    run(DAMAGED[:2])  # warmup / compile
-    # best-of-2: the chip may be shared/preempted; report achievable rate
+    # warm thoroughly: compile + the shared pool's post-compile slow path
+    run(DAMAGED[:BATCH])
+    run(DAMAGED[:BATCH])
+    run(DAMAGED)
+    # best-of-3: the chip may be shared/preempted; report achievable rate
     dt = min(
         (lambda t0: (run(DAMAGED), time.time() - t0)[1])(time.time())
-        for _ in range(2)
+        for _ in range(3)
     )
+
+    # stage attribution (published so vs_baseline is auditable per stage)
+    def stage_ms(f, *args):
+        outs = [f(*args) for _ in range(4)]
+        jax.block_until_ready(outs)
+        t0 = time.time()
+        outs = [f(*args) for _ in range(6)]
+        jax.block_until_ready(outs)
+        return (time.time() - t0) / 6 / BATCH * 1e3
+
+    prev = dev_stack[0:BATCH].astype(jnp.float32)
+    nxt = dev_stack[2:BATCH + 2].astype(jnp.float32)
+    deg = dev_stack[1:BATCH + 1].astype(jnp.float32)
+    interp_jit = jax.jit(interp_stage)
+    restore_stage_jit = jax.jit(
+        lambda fv, uv, d, i: restore_stage(fv, uv, d, i)[0])
+    interp_out = interp_jit(interp_vars, prev, nxt)[:, :SECTION, :SECTION]
+    stages = {
+        "interp_ifnet_sepconv": round(stage_ms(
+            interp_jit, interp_vars, prev, nxt), 1),
+        "flow_warp_fusion": round(stage_ms(
+            restore_stage_jit, flow_vars, fusion_vars, deg, interp_out), 1),
+    }
+
+    # hardware parity gate (TPU_CHECKS.json; VERDICT r1 item 3)
+    try:
+        gate = subprocess.run(
+            [sys.executable, "tools/tpu_checks.py"], capture_output=True,
+            text=True, timeout=1200)
+        checks = json.loads(gate.stdout.strip().splitlines()[-1])["tpu_checks"]
+    except Exception:
+        checks = "error"
 
     mpix = len(DAMAGED) * SECTION * SECTION / 1e6
     mps = mpix / dt
@@ -122,6 +179,9 @@ def main():
         "value": round(mps, 3),
         "unit": "MP/s/chip",
         "vs_baseline": round(mps / REFERENCE_GPU_MPS, 3),
+        "stage_ms_per_section": stages,
+        "config": {"batch": BATCH, "dtype": "bfloat16", "packed": True},
+        "tpu_checks": checks,
     }))
 
 

@@ -49,9 +49,12 @@ class SFFPipeline:
     ngf: int = 32
     pad: int = 0  # cfg.TEST.pad parity: symmetric zero pad before the model,
                   # negative pad (crop) after (main_ms.py:186-191)
+    packed: bool = True  # planar-map IFNet path (identical function,
+                         # ~1.7x faster on TPU; see models/ifnet.py)
 
     def __post_init__(self):
-        self.interp_model = IFNet(kernel_size=self.kernel_size, n_frames=1)
+        self.interp_model = IFNet(kernel_size=self.kernel_size, n_frames=1,
+                                  packed=self.packed)
         self.flow_model = FusionNet(output_nc=2, ngf=self.ngf)
         self.fusion_model = UNetSFF(out_channel=1)
 
@@ -167,9 +170,11 @@ class SPPipeline:
     denoise_vars: Optional[dict] = None
     fusion_vars: Optional[dict] = None
     kernel_size: int = 51
+    packed: bool = True
 
     def __post_init__(self):
-        self.vfi = IFNet(kernel_size=self.kernel_size, n_frames=2)
+        self.vfi = IFNet(kernel_size=self.kernel_size, n_frames=2,
+                         packed=self.packed)
         self.denoise = UNetSP(1)
         self.fusion = FusionNetSP(1)
 

@@ -188,19 +188,24 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _pick_tiles(h: int, w: int, k: int, n_map_blocks: int, c: int):
+def _pick_tiles(h: int, w: int, k: int, n_map_blocks: int, c: int,
+                itemsize: int = 4):
     """(ty, tx) output tile such that the pipelined map blocks + the halo
-    window fit the VMEM budget. n_map_blocks counts (1,K,ty,tx) f32 blocks
+    window fit the VMEM budget. n_map_blocks counts (1,K,ty,tx) blocks
     held per grid step (2 for fwd: V,H; 4 for bwd: V,H,dV,dH; +1 g block).
+    bf16 blocks need a 16-sublane tile; f32 needs 8.
     """
-    ty = 8
+    ty = 16 if itemsize == 2 else 8
     tx = w
     while True:
         txw = _round_up(tx + k - 1, 128)
+        # map blocks counted at 4 B/elt regardless of dtype: Mosaic's
+        # scoped-vmem accounting for bf16 blocks measures ~2x their packed
+        # size (upcast staging), so bf16 budgets as f32
         need = (
-            n_map_blocks * 2 * 4 * k * ty * tx  # double-buffered map blocks
-            + 4 * c * _halo_rows(ty, k) * txw   # halo window scratch
-            + 2 * 4 * c * ty * tx               # output block (buffered)
+            n_map_blocks * 2 * 4 * k * ty * tx      # 2x-buffered maps
+            + 2 * 4 * c * _halo_rows(ty, k) * txw   # halo window (f32)
+            + 2 * 4 * c * ty * tx                   # output block
         )
         if need <= _VMEM_BUDGET or tx <= 256:
             return ty, tx
@@ -311,6 +316,10 @@ def _prep_planar_inputs(image, vertical, horizontal, ty, tx, k):
     txw = _round_up(tx + k - 1, 128)
     im_rows = hpad - ty + rows
     im_cols = wq - tx + txw
+    # the halo window travels f32: pltpu.roll (used for the per-group
+    # sublane shift) only supports 32-bit data; the big streams (the K-plane
+    # tap maps) keep their caller dtype, so bf16 callers still halve the
+    # dominant traffic
     image = jnp.pad(
         image.astype(jnp.float32),
         [(0, 0), (0, 0), (0, im_rows - hp), (0, im_cols - wp)],
@@ -325,7 +334,9 @@ def _sepconv_fwd_pallas_planar(image, vertical, horizontal, interpret=False):
     n, c, hp, wp = image.shape
     k = vertical.shape[1]
     h, w = hp - k + 1, wp - k + 1
-    ty, tx = _pick_tiles(h, w, k, n_map_blocks=2, c=c)
+    ty, tx = _pick_tiles(h, w, k, n_map_blocks=2, c=c,
+                         itemsize=min(image.dtype.itemsize,
+                                      vertical.dtype.itemsize))
     im_p, v_p, h_p, h, w, hpad, wq, txw = _prep_planar_inputs(
         image, vertical, horizontal, ty, tx, k)
 
@@ -341,7 +352,7 @@ def _sepconv_fwd_pallas_planar(image, vertical, horizontal, interpret=False):
         out_specs=pl.BlockSpec((1, c, ty, tx), lambda i, t, s: (i, 0, t, s)),
         out_shape=jax.ShapeDtypeStruct((n, c, hpad, wq), image.dtype),
         scratch_shapes=[
-            pltpu.VMEM((c, _halo_rows(ty, k), txw), jnp.float32),
+            pltpu.VMEM((c, _halo_rows(ty, k), txw), im_p.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         cost_estimate=pl.CostEstimate(
@@ -358,7 +369,9 @@ def _sepconv_bwd_pallas_planar(image, vertical, horizontal, g, interpret=False):
     n, c, hp, wp = image.shape
     k = vertical.shape[1]
     h, w = hp - k + 1, wp - k + 1
-    ty, tx = _pick_tiles(h, w, k, n_map_blocks=4, c=c)
+    ty, tx = _pick_tiles(h, w, k, n_map_blocks=4, c=c,
+                         itemsize=min(image.dtype.itemsize,
+                                      vertical.dtype.itemsize))
     im_p, v_p, h_p, h, w, hpad, wq, txw = _prep_planar_inputs(
         image, vertical, horizontal, ty, tx, k)
     g_p = jnp.pad(g, [(0, 0), (0, 0), (0, hpad - h), (0, wq - w)])
@@ -382,7 +395,7 @@ def _sepconv_bwd_pallas_planar(image, vertical, horizontal, g, interpret=False):
             jax.ShapeDtypeStruct((n, k, hpad, wq), horizontal.dtype),
         ],
         scratch_shapes=[
-            pltpu.VMEM((c, _halo_rows(ty, k), txw), jnp.float32),
+            pltpu.VMEM((c, _halo_rows(ty, k), txw), im_p.dtype),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,

@@ -31,7 +31,7 @@ from sstem_tpu.models.layers import (
     avg_pool_2x2,
     orthogonal_relu_gain_init,
 )
-from sstem_tpu.config import matmul_precision
+from sstem_tpu.config import compute_dtype, matmul_precision
 from sstem_tpu.ops import (
     replication_pad_2d,
     upsample2x_planar_mxu,
@@ -159,7 +159,13 @@ class IFNet(nn.Module):
         padded_i1 = replication_pad_2d(i1, pad)
         padded_i2 = replication_pad_2d(i2, pad)
         if self.packed:
-            # planar images for the planar sepconv (free relayout at C<=3)
+            # planar images for the planar sepconv (free relayout at C<=3);
+            # under a bf16 compute dtype the kernel window also travels bf16
+            # (f32 accumulation happens in-kernel)
+            cdt = compute_dtype()
+            if cdt is not None:
+                padded_i1 = padded_i1.astype(cdt)
+                padded_i2 = padded_i2.astype(cdt)
             padded_i1 = jnp.transpose(padded_i1, (0, 3, 1, 2))
             padded_i2 = jnp.transpose(padded_i2, (0, 3, 1, 2))
 

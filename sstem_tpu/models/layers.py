@@ -219,11 +219,16 @@ class BatchNorm2dTorch(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool):
+        # compute dtype: batch statistics always accumulate in f32 (flax
+        # normalizes in f32 regardless of dtype); with a bf16 compute dtype
+        # the normalized output is emitted bf16 so the activation chain
+        # stays half-width between convs.
         return nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,
             epsilon=1e-5,
             scale_init=self.scale_init,
+            dtype=compute_dtype(),
         )(x)
 
 

@@ -113,8 +113,8 @@ def upsample2x_planar_mxu(x, precision=None):
     so at HIGHEST precision the result matches the shift decomposition.
     """
     n, c, h, w = x.shape
-    uh = jnp.asarray(_up_matrix_2x(h))
-    uw = jnp.asarray(_up_matrix_2x(w))
+    uh = jnp.asarray(_up_matrix_2x(h), dtype=x.dtype)
+    uw = jnp.asarray(_up_matrix_2x(w), dtype=x.dtype)
     y = jnp.einsum("Oh,nchw->ncOw", uh, x, precision=precision)
     return jnp.einsum("ncow,Ww->ncoW", y, uw, precision=precision)
 
