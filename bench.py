@@ -142,11 +142,15 @@ def main():
 
     # stage attribution (published so vs_baseline is auditable per stage)
     def stage_ms(f, *args):
-        outs = [f(*args) for _ in range(4)]
-        jax.block_until_ready(outs)
+        # sync via a device-sum readback: block_until_ready acks early on
+        # the tunneled runtime and under-reports
+        def sync(outs):
+            return float(jnp.stack(
+                [jnp.sum(o[0].astype(jnp.float32)) if isinstance(o, tuple)
+                 else jnp.sum(o.astype(jnp.float32)) for o in outs]).sum())
+        sync([f(*args) for _ in range(12)])  # post-compile slow path
         t0 = time.time()
-        outs = [f(*args) for _ in range(6)]
-        jax.block_until_ready(outs)
+        sync([f(*args) for _ in range(6)])
         return (time.time() - t0) / 6 / BATCH * 1e3
 
     prev = dev_stack[0:BATCH].astype(jnp.float32)
