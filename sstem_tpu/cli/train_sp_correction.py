@@ -17,6 +17,7 @@ from sstem_tpu.cli import common
 from sstem_tpu.compat.config import load_sp_config
 from sstem_tpu.data.providers import Provider, SPDataset
 from sstem_tpu.models import UNetSP
+from sstem_tpu.ops import negative_pad_2d
 from sstem_tpu.train.checkpoint import restore_checkpoint
 from sstem_tpu.train.loop import run_training, save_collage, to_uint8
 from sstem_tpu.train.schedules import step_lr
@@ -28,6 +29,7 @@ def build(opt_cfg, steps_per_epoch):
     schedule = step_lr(float(opt_cfg.base_lr or 1e-4), 30, 0.5,
                        steps_per_epoch=steps_per_epoch)
     opt = make_optimizer(schedule)
+    pad = int(opt_cfg.PAD or 0)  # loss-crop parity (main_correction.py:144-149)
 
     def loss_fn(params, batch_stats, batch):
         v = {"params": params, "batch_stats": batch_stats}
@@ -36,8 +38,10 @@ def build(opt_cfg, steps_per_epoch):
         v2 = {"params": params, "batch_stats": mut["batch_stats"]}
         p2, mut2 = model.apply(v2, batch["img_3_degra"], train=True,
                                mutable=["batch_stats"])
-        loss = losses.l1_loss(p1, batch["img_2"]) + losses.l1_loss(
-            p2, batch["img_3"]
+        loss = losses.l1_loss(
+            negative_pad_2d(p1, pad), negative_pad_2d(batch["img_2"], pad)
+        ) + losses.l1_loss(
+            negative_pad_2d(p2, pad), negative_pad_2d(batch["img_3"], pad)
         )
         return loss, ({}, mut2["batch_stats"])
 
@@ -53,6 +57,9 @@ def main(argv=None):
     parser.add_argument("-opt", "--opt", type=str,
                         default="./config/train_correc.yaml")
     parser.add_argument("--max-iters", type=int, default=None)
+    parser.add_argument("--resume-torch", type=str, default=None,
+                        help="resume mid-flight from a reference torch "
+                             ".ckpt (weights + Adam moments)")
     args = parser.parse_args(argv)
 
     cfg = load_sp_config(args.opt)
@@ -80,12 +87,23 @@ def main(argv=None):
                               batch_stats=variables["batch_stats"])
 
     start_iter = 0
-    ck = restore_checkpoint(paths["save_path"])  # auto-resume latest
-    if ck is not None:
-        mw = ck["model_weights"]
-        state = state.replace(params=mw["params"],
-                              batch_stats=mw.get("batch_stats"))
-        start_iter = int(ck["current_iter"])
+    if args.resume_torch:
+        from sstem_tpu.compat import torch_ckpt as tc
+
+        tv = tc.load_torch_unet_sp(args.resume_torch)
+        opt_state, start_iter = tc.load_torch_optimizer(
+            args.resume_torch, tc.load_torch_unet_sp, tv["params"], opt)
+        state = state.replace(params=tv["params"],
+                              batch_stats=tv.get("batch_stats"),
+                              opt_state=opt_state,
+                              step=jnp.asarray(start_iter, jnp.int32))
+    else:
+        ck = restore_checkpoint(paths["save_path"])  # auto-resume latest
+        if ck is not None:
+            mw = ck["model_weights"]
+            state = state.replace(params=mw["params"],
+                                  batch_stats=mw.get("batch_stats"))
+            start_iter = int(ck["current_iter"])
 
     def preview_fn(st, batch, iters):
         b = jax.device_get(batch)

@@ -24,6 +24,7 @@ import numpy as np
 import optax
 
 from sstem_tpu import losses
+from sstem_tpu.ops import negative_pad_2d
 from sstem_tpu.cli import common
 from sstem_tpu.cli.train_sp_interp import vfi_inputs
 from sstem_tpu.compat.config import load_sp_config
@@ -103,23 +104,24 @@ def build(cfg, steps_per_epoch):
         param_labels={"vfi": "vfi", "denoise": "denoise", "fusion": "fusion"},
     )
 
+    pad = int(cfg.PAD or 0)  # loss-crop parity (main_fusion.py:228-233;
+    # the reference hardcodes PAD = 0 there but keeps the crop surface)
+
+    def crop(x):
+        return negative_pad_2d(x, pad)
+
     def loss_fn(params, batch_stats, batch):
         variables = {"params": params, "batch_stats": batch_stats}
         p1, p2, (v1, v2), (d1, d2), new_bs = sp_fusion_forward(
             models, variables, batch, mode, train=True
         )
-        lf = losses.l1_loss(p1, batch["img_2"]) + losses.l1_loss(
-            p2, batch["img_3"]
-        )
+        t1, t2 = crop(batch["img_2"]), crop(batch["img_3"])
+        lf = losses.l1_loss(crop(p1), t1) + losses.l1_loss(crop(p2), t2)
         if fusion_only:
             loss = lf
         else:
-            lv = losses.l1_loss(v1, batch["img_2"]) + losses.l1_loss(
-                v2, batch["img_3"]
-            )
-            ld = losses.l1_loss(d1, batch["img_2"]) + losses.l1_loss(
-                d2, batch["img_3"]
-            )
+            lv = losses.l1_loss(crop(v1), t1) + losses.l1_loss(crop(v2), t2)
+            ld = losses.l1_loss(crop(d1), t1) + losses.l1_loss(crop(d2), t2)
             loss = lv + ld + lf
         return loss, ({"loss_fusion": lf}, new_bs)
 

@@ -18,6 +18,7 @@ from sstem_tpu.cli import common
 from sstem_tpu.compat.config import load_sp_config
 from sstem_tpu.data.providers import Provider, SPDataset
 from sstem_tpu.models import IFNet
+from sstem_tpu.ops import negative_pad_2d
 from sstem_tpu.train.checkpoint import restore_checkpoint
 from sstem_tpu.train.loop import run_training, save_collage, to_uint8
 from sstem_tpu.train.schedules import step_lr
@@ -35,11 +36,14 @@ def build(opt_cfg, steps_per_epoch):
     schedule = step_lr(float(opt_cfg.base_lr or 1e-4), 30, 0.5,
                        steps_per_epoch=steps_per_epoch)
     opt = make_optimizer(schedule)
+    pad = int(opt_cfg.PAD or 0)  # loss-crop parity (main_interp.py:137-140)
 
     def loss_fn(params, _, batch):
         pred = model.apply({"params": params}, vfi_inputs(batch))
-        l1 = losses.l1_loss(pred[..., 0:1], batch["img_2"])
-        l2 = losses.l1_loss(pred[..., 1:2], batch["img_3"])
+        l1 = losses.l1_loss(negative_pad_2d(pred[..., 0:1], pad),
+                            negative_pad_2d(batch["img_2"], pad))
+        l2 = losses.l1_loss(negative_pad_2d(pred[..., 1:2], pad),
+                            negative_pad_2d(batch["img_3"], pad))
         return l1 + l2, {"loss_vfi1": l1}
 
     train_step = make_train_step(loss_fn, opt)
@@ -52,6 +56,10 @@ def main(argv=None):
     parser.add_argument("-opt", "--opt", type=str,
                         default="./config/train_interp.yaml")
     parser.add_argument("--max-iters", type=int, default=None)
+    parser.add_argument("--resume-torch", type=str, default=None,
+                        help="resume mid-flight from a reference torch "
+                             ".ckpt (weights + Adam moments, "
+                             "main_interp.py:193-196)")
     args = parser.parse_args(argv)
 
     cfg = load_sp_config(args.opt)
@@ -78,10 +86,20 @@ def main(argv=None):
     state = TrainState.create(variables["params"], opt)
 
     start_iter = 0
-    ck = restore_checkpoint(paths["save_path"])
-    if ck is not None:
-        state = state.replace(params=ck["model_weights"]["params"])
-        start_iter = int(ck["current_iter"])
+    if args.resume_torch:
+        from sstem_tpu.compat import torch_ckpt as tc
+
+        tv = tc.load_torch_ifnet(args.resume_torch, n_frames=2)
+        opt_state, start_iter = tc.load_torch_optimizer(
+            args.resume_torch, tc.load_torch_ifnet, tv["params"], opt,
+            n_frames=2)
+        state = state.replace(params=tv["params"], opt_state=opt_state,
+                              step=jnp.asarray(start_iter, jnp.int32))
+    else:
+        ck = restore_checkpoint(paths["save_path"])
+        if ck is not None:
+            state = state.replace(params=ck["model_weights"]["params"])
+            start_iter = int(ck["current_iter"])
 
     def preview_fn(st, batch, iters):
         b = jax.device_get(batch)

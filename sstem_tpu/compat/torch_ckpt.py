@@ -223,3 +223,92 @@ def load_torch_unet_sp(path_or_dict):
     params["outc"] = _conv(sd, "outc.conv")
     return {"params": {"backbone": params},
             "batch_stats": {"backbone": stats}}
+
+
+# ---------------------------------------------------------------------------
+# Optimizer-state import (VERDICT r1 missing #2)
+# ---------------------------------------------------------------------------
+
+def load_torch_optimizer(path_or_dict, weights_loader, params, opt,
+                         **loader_kw):
+    """Import a reference checkpoint's Adam moments into an optax state.
+
+    The SP trainers save ``optimizer_weights`` (torch Adam state_dict) next
+    to the model weights (sp_scripts_train/main_interp.py:193-196); this
+    lets a reference training run be resumed mid-flight with its moments.
+
+    torch keys Adam state by parameter *index* in ``model.parameters()``
+    order, which equals the state_dict insertion order filtered to trainable
+    entries (buffers excluded). Each moment tensor gets the same layout
+    transform as its weight by re-running the model's ``weights_loader``
+    over synthetic state dicts holding the moments.
+
+    Args:
+      path_or_dict: reference .ckpt path or its loaded payload dict.
+      weights_loader: the matching importer (e.g. ``load_torch_ifnet``).
+      params: our initialized flax params (the target tree structure).
+      opt: the optax optimizer whose ``init(params)`` state is templated.
+      **loader_kw: forwarded to ``weights_loader`` (e.g. ``n_frames=2``).
+
+    Returns:
+      (opt_state, step) — the populated optax state and the torch step count.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    if isinstance(path_or_dict, dict):
+        ckpt = path_or_dict
+    else:
+        import torch
+
+        ckpt = torch.load(path_or_dict, map_location="cpu",
+                          weights_only=False)
+    sd = {}
+    for k, v in ckpt["model_weights"].items():
+        if k.startswith("module."):
+            k = k[len("module."):]
+        sd[k] = v
+    ow = ckpt["optimizer_weights"]
+    state = {int(k): v for k, v in ow["state"].items()}
+
+    buffers = ("running_mean", "running_var", "num_batches_tracked")
+    pnames = [k for k in sd if not k.endswith(buffers)]
+
+    def moment_sd(which):
+        md = {}
+        for k, v in sd.items():
+            if k in pnames:
+                md[k] = _to_numpy(state[pnames.index(k)][which])
+            else:
+                md[k] = np.zeros_like(_to_numpy(v))  # buffer placeholder
+        return md
+
+    mu = weights_loader(moment_sd("exp_avg"), **loader_kw)["params"]
+    nu = weights_loader(moment_sd("exp_avg_sq"), **loader_kw)["params"]
+    step0 = state[0]["step"]
+    step = int(_to_numpy(step0)) if not isinstance(step0, int) else step0
+
+    # moment trees must mirror the target params exactly
+    assert (jax.tree_util.tree_structure(mu)
+            == jax.tree_util.tree_structure(params)), (
+        "imported optimizer moments do not match the parameter tree")
+
+    import optax
+
+    count = jnp.asarray(step, jnp.int32)
+
+    def inject(s):
+        if isinstance(s, optax.ScaleByAdamState):
+            return s._replace(count=count,
+                              mu=jax.tree_util.tree_map(jnp.asarray, mu),
+                              nu=jax.tree_util.tree_map(jnp.asarray, nu))
+        if hasattr(s, "_replace") and hasattr(s, "count"):
+            return s._replace(count=count)  # LR-schedule step counters
+        if isinstance(s, tuple):
+            items = [inject(x) for x in s]
+            if hasattr(s, "_fields"):  # other NamedTuple states
+                return type(s)(*items)
+            return tuple(items)
+        return s
+
+    return inject(opt.init(params)), step

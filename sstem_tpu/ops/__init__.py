@@ -1,4 +1,4 @@
-from sstem_tpu.ops.pad import replication_pad_2d
+from sstem_tpu.ops.pad import negative_pad_2d, replication_pad_2d
 from sstem_tpu.ops.resize import (
     upsample2x_planar,
     upsample2x_planar_mxu,
@@ -8,6 +8,7 @@ from sstem_tpu.ops.warp import image_warp, spatial_transform
 from sstem_tpu.ops.flow import gen_line, gen_flow, gen_flow_np
 
 __all__ = [
+    "negative_pad_2d",
     "replication_pad_2d",
     "upsample2x_planar",
     "upsample2x_planar_mxu",

@@ -26,3 +26,21 @@ def replication_pad_2d(x, pad):
     else:
         cfg = [(0, 0)] * (x.ndim - 3) + [(pt, pb), (pl_, pr), (0, 0)]
     return jnp.pad(x, cfg, mode="edge")
+
+
+def negative_pad_2d(x, pad: int):
+    """Crop ``pad`` pixels from each spatial border of an NHWC array.
+
+    Parity with the reference SP trainers' ``F.pad(x, (-PAD,)*4)`` loss crop
+    (sp_scripts_train/main_interp.py:137-140, main_correction.py:144-149,
+    main_fusion.py:228-233). ``pad == 0`` is the identity, matching torch.
+    """
+    if pad == 0:
+        return x
+    if pad < 0:
+        raise ValueError("negative_pad_2d takes the crop amount (>= 0)")
+    if 2 * pad >= x.shape[1] or 2 * pad >= x.shape[2]:
+        raise ValueError(
+            f"crop pad {pad} consumes the whole {x.shape[1]}x{x.shape[2]} "
+            "patch (loss would be NaN); lower TRAIN PAD or raise patch_size")
+    return x[:, pad:-pad, pad:-pad, :]

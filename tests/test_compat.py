@@ -313,3 +313,74 @@ def test_torch_save_file_roundtrip(tmp_path):
     got_p = _flatten(imported["params"])
     for k in flat_p:
         np.testing.assert_array_equal(got_p[k], flat_p[k])
+
+
+def test_optimizer_state_import():
+    """Reference Adam moments (optimizer_weights) import into optax:
+    moments get the weights' layout transforms, step count restores."""
+    import optax
+
+    model = IFNet(kernel_size=5, n_frames=1)
+    variables = jax.jit(model.init)(
+        jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 6), jnp.float32)
+    )
+    flat = _flatten(variables["params"])
+
+    name_map = {}
+    for blk in ["conv32", "conv64", "conv128", "conv256", "conv512",
+                "conv512x512", "upconv256", "upconv128", "upconv64"]:
+        name_map.update(_conv_module_map(blk, blk))
+    for blk in ["upsamp512", "upsamp256", "upsamp128", "upsamp64"]:
+        name_map[f"{blk}/conv/Conv_0/kernel"] = f"{blk}.1"
+        name_map[f"{blk}/conv/Conv_0/bias"] = f"{blk}.1"
+    for ours, theirs in [("head2h", "upconv51_1"), ("head2v", "upconv51_2"),
+                         ("head1h", "upconv51_3"), ("head1v", "upconv51_4")]:
+        name_map.update(_head_map(ours, theirs))
+
+    sd = _torch_sd_from_flax(flat, {}, name_map)
+    # torch Adam: state keyed by parameter index in parameters() order ==
+    # state-dict order filtered to trainable entries
+    opt_state_t = {
+        i: {"step": 1234,
+            "exp_avg": np.asarray(v) * 0.5,
+            "exp_avg_sq": np.asarray(v) ** 2}
+        for i, (k, v) in enumerate(sd.items())
+    }
+    ckpt = {"model_weights": sd,
+            "optimizer_weights": {"state": opt_state_t,
+                                  "param_groups": [{}]}}
+
+    opt = optax.adam(optax.piecewise_constant_schedule(1e-4, {}))
+    opt_state, step = tc.load_torch_optimizer(
+        ckpt, tc.load_torch_ifnet, variables["params"], opt, n_frames=1)
+    assert step == 1234
+
+    adam = opt_state[0]
+    assert int(adam.count) == 1234
+    got_mu = _flatten(adam.mu)
+    got_nu = _flatten(adam.nu)
+    for k in flat:
+        np.testing.assert_allclose(got_mu[k], flat[k] * 0.5, rtol=1e-6)
+        np.testing.assert_allclose(got_nu[k], np.asarray(flat[k]) ** 2,
+                                   rtol=1e-6)
+
+    # the imported state steps without structure errors
+    g = jax.tree_util.tree_map(jnp.ones_like, variables["params"])
+    updates, _ = opt.update(g, opt_state, variables["params"])
+    assert jax.tree_util.tree_structure(updates) == \
+        jax.tree_util.tree_structure(variables["params"])
+
+
+def test_negative_pad_crop_matches_torch_f_pad():
+    """SP trainer loss-crop parity: F.pad(x, (-p,)*4) == negative_pad_2d."""
+    import torch
+    import torch.nn.functional as F
+
+    from sstem_tpu.ops import negative_pad_2d
+
+    x = RNG.standard_normal((2, 16, 20, 1)).astype(np.float32)
+    for p in (0, 1, 3):
+        ours = np.asarray(negative_pad_2d(jnp.asarray(x), p))
+        theirs = F.pad(torch.from_numpy(np.transpose(x, (0, 3, 1, 2))),
+                       (-p, -p, -p, -p)).numpy()
+        np.testing.assert_array_equal(ours, np.transpose(theirs, (0, 2, 3, 1)))
