@@ -212,24 +212,78 @@ class ConvTranspose2dTorch(nn.Module):
         return y + b
 
 
+class _TorchBatchNorm(nn.Module):
+    """Exact torch BatchNorm2d semantics (NHWC).
+
+    Differences from ``nn.BatchNorm`` that matter for training-dynamics
+    parity (tests/test_training_parity.py):
+      * the running variance is updated with the UNBIASED batch variance
+        (torch multiplies by n/(n-1), n = N*H*W) while normalization uses
+        the biased variance — flax uses the biased variance for both, which
+        drifts the running stats by up to n/(n-1) (14% at the 2x2-spatial
+        bridge of a tiny FusionNet).
+    Batch statistics accumulate in f32; with a bf16 compute dtype the
+    normalized output is emitted bf16 so the activation chain stays
+    half-width between convs. Variable layout matches nn.BatchNorm
+    ('scale'/'bias' params, 'mean'/'var' batch_stats) so checkpoints and
+    the torch importers are unaffected.
+    """
+
+    momentum: float = 0.9      # flax convention: new = m*old + (1-m)*batch
+    epsilon: float = 1e-5
+    scale_init: Callable = nn.initializers.ones
+
+    @nn.compact
+    def __call__(self, x, use_running_average: bool):
+        feat = x.shape[-1]
+        scale = self.param("scale", self.scale_init, (feat,))
+        bias = self.param("bias", nn.initializers.zeros, (feat,))
+        ra_mean = self.variable(
+            "batch_stats", "mean", nn.initializers.zeros_init(), None, (feat,)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", nn.initializers.ones_init(), None, (feat,)
+        )
+
+        # stats accumulate in >= f32 (f64 stays f64 for the x64 parity
+        # harness; bf16 activations promote to f32)
+        acc_dt = jnp.promote_types(x.dtype, jnp.float32)
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(acc_dt)
+            axes = tuple(range(x.ndim - 1))
+            mean = jnp.mean(xf, axis=axes)
+            var = jnp.mean(jnp.square(xf), axis=axes) - jnp.square(mean)
+            if not self.is_initializing():
+                n = np.prod([x.shape[a] for a in axes])
+                unbiased = var * (n / max(n - 1, 1))
+                m = self.momentum
+                ra_mean.value = (m * ra_mean.value + (1 - m) * mean).astype(
+                    ra_mean.value.dtype)
+                ra_var.value = (m * ra_var.value + (1 - m) * unbiased).astype(
+                    ra_var.value.dtype)
+
+        cdt = compute_dtype()
+        out_dtype = cdt if cdt is not None else x.dtype
+        inv = lax.rsqrt(var.astype(acc_dt) + self.epsilon) * scale.astype(acc_dt)
+        y = (x.astype(acc_dt) - mean.astype(acc_dt)) * inv + bias.astype(acc_dt)
+        return y.astype(out_dtype)
+
+
 class BatchNorm2dTorch(nn.Module):
-    """BatchNorm2d parity: momentum 0.1 (torch) == flax momentum 0.9, eps 1e-5."""
+    """BatchNorm2d parity: momentum 0.1 (torch) == flax momentum 0.9, eps
+    1e-5, unbiased running variance (see _TorchBatchNorm)."""
 
     scale_init: Callable = nn.initializers.ones
 
     @nn.compact
     def __call__(self, x, train: bool):
-        # compute dtype: batch statistics always accumulate in f32 (flax
-        # normalizes in f32 regardless of dtype); with a bf16 compute dtype
-        # the normalized output is emitted bf16 so the activation chain
-        # stays half-width between convs.
-        return nn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.9,
-            epsilon=1e-5,
-            scale_init=self.scale_init,
-            dtype=compute_dtype(),
-        )(x)
+        # the inner module is named BatchNorm_0 to keep the variable tree
+        # identical to the previous nn.BatchNorm-based implementation
+        return _TorchBatchNorm(
+            scale_init=self.scale_init, name="BatchNorm_0"
+        )(x, use_running_average=not train)
 
 
 def max_pool_2x2(x):

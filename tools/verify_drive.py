@@ -1,0 +1,85 @@
+"""End-to-end verify drive on the real TPU (see .claude/skills/verify).
+
+Runs SFFPipeline.restore_stack on a synthetic stack at an odd section size
+with both sepconv impls and cross-checks the uint8 outputs, then one jitted
+TPU train step. Exits nonzero on mismatch.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/sstem_tpu_jax_cache")
+
+    from sstem_tpu.data.synthetic import synth_stack
+    from sstem_tpu.infer.pipeline import SFFPipeline
+    from sstem_tpu.kernels.sepconv import set_sepconv_impl
+    from sstem_tpu.models import FusionNet, IFNet, UNetSFF
+
+    key = jax.random.PRNGKey(0)
+    x6 = jnp.zeros((1, 64, 64, 6), jnp.float32)
+    iv = jax.jit(IFNet(51, 1).init)(key, x6)
+    fv = jax.jit(lambda k, x: FusionNet(output_nc=2).init(k, x, train=True))(
+        key, x6)
+    uv = jax.jit(lambda k, x: UNetSFF(1).init(k, x, train=True))(key, x6)
+
+    stack = synth_stack(5, 251, 179, seed=0)
+    outs = {}
+    for impl in ("pallas", "xla"):
+        set_sepconv_impl(impl)
+        pipe = SFFPipeline(interp_vars=iv, flow_vars=fv, fusion_vars=uv)
+        outs[impl] = pipe.restore_stack(stack, [1, 3])
+    bad = 0
+    for sid in (1, 3):
+        for k in ("interp", "fused", "stitch"):
+            a = outs["pallas"][sid][k].astype(np.int16)
+            b = outs["xla"][sid][k].astype(np.int16)
+            d = int(np.abs(a - b).max())
+            frac = float((np.abs(a - b) > 1).mean())
+            print(f"section {sid} {k}: max uint8 delta {d} "
+                  f"(frac>1: {frac:.2e})", flush=True)
+            if frac > 1e-3:
+                bad += 1
+
+    # one jitted train step on TPU (exercises BN train mode + sepconv VJP)
+    import optax
+    from sstem_tpu import losses
+
+    model = FusionNet(output_nc=2, ngf=8)
+    variables = jax.jit(lambda k, x: model.init(k, x, train=True))(key, x6)
+    opt = optax.adam(1e-4)
+    params, stats = variables["params"], variables["batch_stats"]
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, stats, opt_state, x, y):
+        def loss_fn(p):
+            pred, mut = model.apply(
+                {"params": p, "batch_stats": stats}, x, train=True,
+                mutable=["batch_stats"])
+            return losses.l1_loss(pred, y), mut["batch_stats"]
+
+        (loss, new_stats), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = opt.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), new_stats, opt_state, loss
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random((2, 64, 64, 6)), jnp.float32)
+    y = jnp.asarray(rng.random((2, 64, 64, 2)), jnp.float32)
+    for _ in range(3):
+        params, stats, opt_state, loss = step(params, stats, opt_state, x, y)
+    print(f"train step ok, loss={float(loss):.6f}", flush=True)
+    print("VERIFY " + ("FAIL" if bad else "PASS"), flush=True)
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
