@@ -85,6 +85,7 @@ def _install_differentiable_sepconv_stub():
     sys.modules["libs"] = pkg_libs
     sys.modules["libs.sepconv"] = pkg_sep
     sys.modules["libs.sepconv.SeparableConvolution"] = mod
+    return holder
 
 
 def _import_ref(subdir, module):
@@ -159,8 +160,13 @@ def test_ifnet_adam_l1_training_parity():
     import optax
     import torch
 
-    _install_differentiable_sepconv_stub()
+    holder = _install_differentiable_sepconv_stub()
     ref_mod = _import_ref("sff_scripts_interp", "model_interp")
+    # model_interp may already be imported by test_reference_parity with its
+    # NON-differentiable brute-force stub bound into the module namespace
+    # (`from ... import SeparableConvolution`); rebind so this test's
+    # detach-image differentiable stub is used regardless of suite order
+    ref_mod.SeparableConvolution = holder
 
     torch.manual_seed(7)
     k = 5

@@ -69,19 +69,21 @@ def main():
 
     print("== DMA round-trip bandwidth (read+write counted) ==", flush=True)
     for name, shape, ty in [
-        ("NHWC C=51  (1280,1280,51)", (1280, 1280, 51), 16),
-        ("NHWC C=64  (1280,1280,64)", (1280, 1280, 64), 16),
-        ("NHWC C=128 (1280,1280,128)", (1280, 1280, 128), 16),
-        ("planar     (64,1280,1280)", (64, 1280, 1280), 8),
+        ("NHWC C=51  (1280,1280,51)", (1280, 1280, 51), 4),
+        ("NHWC C=64  (1280,1280,64)", (1280, 1280, 64), 4),
+        ("NHWC C=128 (1280,1280,128)", (1280, 1280, 128), 4),
+        ("planar     (64,1280,1280)", (64, 1280, 1280), 4),
     ]:
         x = jnp.asarray(rng.standard_normal(shape), jnp.float32).astype(
             jnp.bfloat16)
         try:
             f = jax.jit(functools.partial(dma_copy, ty=ty))
+            y = f(x)
+            ok = bool(jnp.all(y == x))
             dt = timeit(f, x)
             gb = 2 * x.size * 2 / 1e9
-            print(f"{name:30s} {dt*1e3:7.2f} ms  {gb/dt:6.1f} GB/s",
-                  flush=True)
+            print(f"{name:30s} {dt*1e3:7.2f} ms  {gb/dt:6.1f} GB/s  "
+                  f"correct={ok}", flush=True)
         except Exception as e:
             print(f"{name:30s} FAILED: {str(e)[:160]}", flush=True)
 
@@ -111,7 +113,7 @@ def main():
                 )
         out_ref[...] = acc.reshape(ty, tx, co).astype(out_ref.dtype)
 
-    def pallas_conv(x, w, ty=8, tx=640):
+    def pallas_conv(x, w, ty=8, tx=256):
         h, wdt, c = x.shape
         co = w.shape[-1]
         xp = jnp.pad(x, [(1, 1), (1, 1), (0, 0)])
@@ -148,7 +150,7 @@ def main():
                 dimension_numbers=("NHWC", "HWIO", "NHWC"))[0]
 
         try:
-            fp = jax.jit(functools.partial(pallas_conv, tx=min(hw, 640)))
+            fp = jax.jit(functools.partial(pallas_conv, tx=min(hw, 256)))
             yp = fp(x, w)
             yx = jax.jit(xla_conv)(x, w)
             err = float(jnp.max(jnp.abs(
