@@ -88,15 +88,18 @@ def main():
         interp = interp_model.apply(iv, x)[..., 0].astype(jnp.float32)
         return jnp.clip(interp, 0.0, 1.0)
 
+    from sstem_tpu.models.serving import fusionnet_serve, unet_sff_serve
+
     def restore_stage(fv, uv, degraded, interp):
         x2 = jnp.concatenate(
             [jnp.repeat(_to01(degraded)[..., None], 3, -1),
              jnp.repeat(pad_to_multiple(interp[..., None], 32)[0], 3, -1)],
             axis=-1)
-        flow = flow_model.apply(fv, x2, train=False).astype(jnp.float32)
+        # pixel-packed Pallas conv serving (models/serving.py)
+        flow = fusionnet_serve(fv, x2).astype(jnp.float32)
         warped = jnp.repeat(spatial_transform(x2[..., 0:1], flow), 3, -1)
         fused_in = jnp.concatenate([warped, x2[..., 3:6]], axis=-1)
-        pred = fusion_model.apply(uv, fused_in, train=False)
+        pred = unet_sff_serve(uv, fused_in)
         return pred.astype(jnp.float32), warped
 
     def section_restore(iv, fv, uv, prev_img, next_img, degraded):
@@ -184,7 +187,8 @@ def main():
         "unit": "MP/s/chip",
         "vs_baseline": round(mps / REFERENCE_GPU_MPS, 3),
         "stage_ms_per_section": stages,
-        "config": {"batch": BATCH, "dtype": "bfloat16", "packed": True},
+        "config": {"batch": BATCH, "dtype": "bfloat16", "packed": True,
+                   "packed_conv_serving": True},
         "tpu_checks": checks,
     }))
 

@@ -22,6 +22,11 @@ import jax
 import jax.numpy as jnp
 
 from sstem_tpu.models import FusionNet, IFNet, UNetSFF, UNetSP, FusionNetSP
+from sstem_tpu.models.serving import (
+    fusionnet_serve,
+    ifnet_serve,
+    unet_sff_serve,
+)
 from sstem_tpu.ops import spatial_transform
 from sstem_tpu.infer.tiles import pad_to_multiple
 
@@ -51,27 +56,61 @@ class SFFPipeline:
                   # negative pad (crop) after (main_ms.py:186-191)
     packed: bool = True  # planar-map IFNet path (identical function,
                          # ~1.7x faster on TPU; see models/ifnet.py)
+    packed_conv: Optional[bool] = None  # pixel-packed Pallas conv serving
+        # for FusionNet/UNetSFF (models/serving.py); None = auto (TPU only)
 
     def __post_init__(self):
+        if self.packed_conv is None:
+            self.packed_conv = jax.default_backend() == "tpu"
+        if self.ngf != 32:
+            self.packed_conv = False  # packed serving targets reference ngf
         self.interp_model = IFNet(kernel_size=self.kernel_size, n_frames=1,
                                   packed=self.packed)
         self.flow_model = FusionNet(output_nc=2, ngf=self.ngf)
         self.fusion_model = UNetSFF(out_channel=1)
 
         def interp_fn(variables, x):
+            # note: ifnet_serve (packed trunk/head convs) measures ~6%
+            # SLOWER than the flax planar-packed path at 1280^2 — the
+            # pack/unpack and pooling round-trips outweigh the conv wins —
+            # so interp keeps the flax path (models/ifnet.py packed=True)
             return self.interp_model.apply(variables, x)
 
         def restore_fn(flow_v, fusion_v, inputs):
-            flow = self.flow_model.apply(flow_v, inputs, train=False)
+            if self.packed_conv:
+                flow = fusionnet_serve(flow_v, inputs, output_nc=2,
+                                       ngf=self.ngf).astype(jnp.float32)
+            else:
+                flow = self.flow_model.apply(flow_v, inputs, train=False)
             # the degraded channels are gray replicated x3 — warp once
             warped1 = spatial_transform(inputs[..., 0:1], flow)
             warped = jnp.repeat(warped1, 3, axis=-1)
             fused_in = jnp.concatenate([warped, inputs[..., 3:6]], axis=-1)
-            pred = self.fusion_model.apply(fusion_v, fused_in, train=False)
+            if self.packed_conv:
+                pred = unet_sff_serve(fusion_v, fused_in,
+                                      out_channel=1).astype(jnp.float32)
+            else:
+                pred = self.fusion_model.apply(fusion_v, fused_in,
+                                               train=False)
             return pred, flow, warped
+
+        def section_fn(iv, fv, uv, x3):
+            """Fused per-section restore on a [prev, next, deg] channel
+            stack (N, H, W, 3) in 0..1 -> (N, H, W, 5):
+            [interp, fused, warped, flow_y, flow_x]. Spatially local and
+            shape-preserving, so it can be row-sharded by spatial_apply."""
+            interp = jnp.clip(
+                interp_fn(iv, _gray6(x3[..., 0], x3[..., 1]))[..., 0],
+                0.0, 1.0)
+            x6 = _gray6(x3[..., 2], interp)
+            pred, flow, warped = restore_fn(fv, uv, x6)
+            warped_g = jnp.mean(warped, axis=-1)
+            return jnp.concatenate(
+                [interp[..., None], pred, warped_g[..., None], flow], -1)
 
         self._interp_fn = jax.jit(interp_fn)
         self._restore_fn = jax.jit(restore_fn)
+        self._section_fn = section_fn
 
     def interpolate(self, prev_imgs, next_imgs, clip=True):
         """Interpolate missing sections from gray uint8 neighbors (N, H, W).
@@ -131,6 +170,72 @@ class SFFPipeline:
             if len(ids) < chunk and s > 0:
                 ids = damaged_ids[len(damaged_ids) - chunk:]  # keep shape
             results.update(self._restore_ids(dev_stack, ids))
+        return results
+
+    def restore_stack_sharded(self, stack, damaged_ids, mesh, halo=256,
+                              data_axis="data", space_axis="space"):
+        """Multi-chip restore: sections data-parallel over ``data_axis``,
+        section rows spatially sharded over ``space_axis`` (halo-exchanged
+        shard_map; parallel/spatial.py).
+
+        Row sharding follows the zero-extended-canvas semantics: results
+        equal the fused pipeline run on the halo-padded canvas, cropped.
+        Bit-exactness vs the single-device path holds where ``halo`` covers
+        the receptive-field margin; the pipeline's deep encoder levels have
+        a nominal margin of several hundred rows, but their contribution
+        decays with distance — halo=256 keeps the residual at the 1e-3
+        level (see tests/test_pipeline_sharded.py), and dp-only meshes
+        (space=1) are bit-exact.
+
+        Returns {id: {'interp', 'fused', 'stitch', 'warped', 'flow'}}.
+        """
+        from sstem_tpu.parallel.spatial import spatial_apply
+
+        n_dp = mesh.shape[data_axis]
+        n_sp = mesh.shape[space_axis]
+        stack = np.asarray(stack)
+        z, h, w = stack.shape
+        # spatial dims: pad W to 32; H handled by spatial_apply's canvas
+        # (halo and shard rows kept 32-multiples for the models)
+        assert halo % 32 == 0, "halo must be a multiple of 32"
+        wp = -(-w // 32) * 32
+        # pad H so each device's slab (plus halos) is a 32-multiple: the
+        # canvas is H + 2*halo rows, split n_sp ways
+        hp = -(-(h + 2 * halo) // (32 * n_sp)) * (32 * n_sp) - 2 * halo
+        ids = list(damaged_ids)
+        results = {}
+
+        def batch_fn(x3):
+            return spatial_apply(
+                lambda xb: self._section_fn(
+                    self.interp_vars, self.flow_vars, self.fusion_vars, xb),
+                x3, mesh, halo, axis=space_axis, batch_axis=data_axis)
+
+        fn = jax.jit(batch_fn)
+        for s in range(0, len(ids), n_dp):
+            grp = ids[s:s + n_dp]
+            if len(grp) < n_dp:
+                grp = (grp * n_dp)[:n_dp]  # pad the last group
+            x3 = np.stack(
+                [np.stack([stack[i - 1], stack[i + 1], stack[i]], -1)
+                 for i in grp]).astype(np.float32) / 255.0
+            x3 = np.pad(x3, [(0, 0), (0, hp - h), (0, wp - w), (0, 0)])
+            out = np.asarray(fn(jnp.asarray(x3)), np.float32)[:, :h, :w]
+            for j, i in enumerate(ids[s:s + n_dp]):
+                interp = np.clip(out[j, ..., 0], 0, 1)
+                fused = np.clip(out[j, ..., 1], 0, 1)
+                warped = np.clip(out[j, ..., 2], 0, 1)
+                flow = out[j, ..., 3:5]
+                w8 = np.floor(warped * 255.0)
+                m = (w8 >= 2).astype(np.float32)
+                stitch = interp * 255.0 * (1 - m) + w8 * m
+                results[i] = {
+                    "interp": np.floor(interp * 255).astype(np.uint8),
+                    "fused": np.floor(fused * 255).astype(np.uint8),
+                    "warped": np.floor(warped * 255).astype(np.uint8),
+                    "stitch": np.floor(stitch).astype(np.uint8),
+                    "flow": flow,
+                }
         return results
 
     def _restore_ids(self, stack, damaged_ids):

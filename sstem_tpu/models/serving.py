@@ -1,0 +1,444 @@
+"""Packed-conv serving forwards (eval mode, bf16) for the full-section nets.
+
+Pure functions over the SAME variable trees as models/fusionnet.py and
+models/unet_sff.py, swapping the full-resolution conv stages onto the
+pixel-packed Pallas conv3x3 kernel (kernels/conv3x3.py) with eval-mode
+BatchNorm folded into the kernel epilogue. Levels at or below 320x320 and
+the transposed convolutions stay on XLA (they are near their bandwidth
+floor there). Training and any non-eval use keep the flax modules.
+
+Concat-then-conv decoder stages use the weight-split identity
+    conv(concat(a, b), W) == conv(a, W[:, :, :Ca]) + conv(b, W[:, :, Ca:])
+so activations never need cross-lane repacking.
+
+Reference semantics served: FusionNet
+(sff_scripts_unfolding/model/model_fusionnet.py:65-145) and the SFF fusion
+UNet (sff_scripts_fusion/model/model_unet.py:6-105).
+"""
+
+import jax.numpy as jnp
+from jax import lax
+
+from sstem_tpu.kernels.conv3x3 import (
+    _LANES,
+    build_packed_weights,
+    conv3x3_packed,
+    fold_affine,
+    pack_nhwc,
+    unpack_nhwc,
+)
+
+_BF = jnp.bfloat16
+
+
+# ---------------------------------------------------------------------------
+# param-tree helpers (paths match the flax modules)
+# ---------------------------------------------------------------------------
+
+def _bn_affine(bn_p, bn_s, eps=1e-5):
+    """Eval BatchNorm as y = x * scale + shift."""
+    scale = bn_p["scale"] * lax.rsqrt(bn_s["var"] + eps)
+    shift = bn_p["bias"] - bn_s["mean"] * scale
+    return scale, shift
+
+
+def _packed_conv_args(conv_p, bn_p, bn_s, c, cin=None, cout=None):
+    """Fold conv weights/bias (+ optional BN) into kernel args at packing C.
+
+    cin/cout: real in/out channels when smaller than c (zero-padded)."""
+    w = conv_p["kernel"].astype(_BF)
+    b = conv_p["bias"]
+    kin, kout = w.shape[2], w.shape[3]
+    if kin < c:
+        w = jnp.pad(w, [(0, 0), (0, 0), (0, c - kin), (0, 0)])
+    if kout < c:
+        w = jnp.pad(w, [(0, 0), (0, 0), (0, 0), (0, c - kout)])
+        b = jnp.pad(b, [(0, c - kout)])
+    if bn_p is not None:
+        s, t = _bn_affine(bn_p, bn_s)
+        if s.shape[0] < c:
+            s = jnp.pad(s, [(0, c - s.shape[0])], constant_values=1.0)
+            t = jnp.pad(t, [(0, c - t.shape[0])])
+    else:
+        s = t = None
+    r = build_packed_weights(w, _LANES // c)
+    sc, sh = fold_affine(c, b, s, t)
+    return r, sc, sh
+
+
+def _cb(xq, p, s, act, c, wq, interpret=False):
+    """_ConvBlock / _ContractBlock half: conv + BN + act (packed)."""
+    r, sc, sh = _packed_conv_args(p["conv"]["Conv_0"],
+                                  p["bn"]["BatchNorm_0"],
+                                  s["bn"]["BatchNorm_0"], c)
+    return conv3x3_packed(xq, r, sc, sh, act, wq=wq, interpret=interpret)
+
+
+def _leaky(x):
+    return jnp.where(x >= 0, x, 0.2 * x).astype(x.dtype)
+
+
+def _conv_eval(x, p, pad=1):
+    """Conv2dTorch eval (NHWC bf16)."""
+    w = p["kernel"].astype(_BF)
+    y = lax.conv_general_dilated(
+        x.astype(_BF), w, (1, 1), [(pad, pad)] * 2,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return y + p["bias"].astype(_BF)
+
+
+def _bn_eval(x, bn_p, bn_s):
+    s, t = _bn_affine(bn_p["BatchNorm_0"], bn_s["BatchNorm_0"])
+    return (x.astype(jnp.float32) * s + t).astype(_BF)
+
+
+def _deconv_eval(x, p):
+    """ConvTranspose2dTorch eval (k3 s2 p1 op1 -> exactly 2x upsample)."""
+    w = p["kernel"].astype(_BF)  # (k, k, out, in)
+    b = p["bias"].astype(_BF)
+    y = lax.conv_general_dilated(
+        x.astype(_BF), jnp.flip(w, axis=(0, 1)), (1, 1),
+        padding=((1, 2), (1, 2)), lhs_dilation=(2, 2),
+        dimension_numbers=("NHWC", "HWOI", "NHWC"))
+    return y + b
+
+
+def _crc_packed(xq, p, s, act, c, wq, interpret=False):
+    """ConvResidualConv on the packed layout (FusionNet block)."""
+    c1 = _cb(xq, p["conv_1"], s["conv_1"], act, c, wq, interpret)
+    h = _cb(c1, p["conv_2"]["block0"], s["conv_2"]["block0"], act, c, wq,
+            interpret)
+    h = _cb(h, p["conv_2"]["block1"], s["conv_2"]["block1"], act, c, wq,
+            interpret)
+    r, sc, sh = _packed_conv_args(p["conv_2"]["conv"]["Conv_0"],
+                                  p["conv_2"]["bn"]["BatchNorm_0"],
+                                  s["conv_2"]["bn"]["BatchNorm_0"], c)
+    c2 = conv3x3_packed(h, r, sc, sh, None, wq=wq, interpret=interpret)
+    res = c1 + c2
+    return _cb(res, p["conv_3"], s["conv_3"], act, c, wq, interpret)
+
+
+def _crc_xla(x, p, s, act_fn):
+    """ConvResidualConv on XLA (smaller levels)."""
+    def cb(h, pp, ss, act=True):
+        h = _bn_eval(_conv_eval(h, pp["conv"]["Conv_0"]),
+                     pp["bn"], ss["bn"])
+        return act_fn(h) if act else h
+    c1 = cb(x, p["conv_1"], s["conv_1"])
+    h = cb(c1, p["conv_2"]["block0"], s["conv_2"]["block0"])
+    h = cb(h, p["conv_2"]["block1"], s["conv_2"]["block1"])
+    c2 = _bn_eval(_conv_eval(h, p["conv_2"]["conv"]["Conv_0"]),
+                  p["conv_2"]["bn"], s["conv_2"]["bn"])
+    return cb(c1 + c2, p["conv_3"], s["conv_3"])
+
+
+def _maxpool(x):
+    return lax.reduce_window(x, -jnp.inf, lax.max, (1, 2, 2, 1),
+                             (1, 2, 2, 1), "VALID")
+
+
+# ---------------------------------------------------------------------------
+# FusionNet
+# ---------------------------------------------------------------------------
+
+def fusionnet_serve(variables, x, output_nc=2, ngf=32, interpret=False):
+    """Eval-mode FusionNet forward, packed at levels 1 (C=32 @ full res)
+    and 2 (C=64 @ half res). Matches FusionNet.apply(train=False) at bf16
+    tolerance."""
+    assert ngf == 32, "packed serving supports the reference ngf=32"
+    p = variables["params"]
+    s = variables["batch_stats"]
+    n, h, w, _ = x.shape
+    wq1, wq2x = w // 4, (w // 2) // 2  # quads at L1 (P=4), L2 (P=2)
+
+    # L1 encoder (packed, C=32; 6-channel input zero-padded into packing)
+    xq = pack_nhwc(x.astype(_BF), pad_c=32 - x.shape[-1])
+    d1q = _crc_packed(xq, p["down_1"], s["down_1"], "leaky", 32, wq1,
+                      interpret)
+    down_1 = unpack_nhwc(d1q, 32, w)
+    p1 = _maxpool(down_1)
+
+    # L2 encoder (packed, C=64; 32-channel input padded)
+    p1q = pack_nhwc(p1, pad_c=32)
+    d2q = _crc_packed(p1q, p["down_2"], s["down_2"], "leaky", 64, wq2x,
+                      interpret)
+    down_2 = unpack_nhwc(d2q, 64, w // 2)
+    p2 = _maxpool(down_2)
+
+    # L3/L4/bridge (XLA)
+    down_3 = _crc_xla(p2, p["down_3"], s["down_3"], _leaky)
+    p3 = _maxpool(down_3)
+    down_4 = _crc_xla(p3, p["down_4"], s["down_4"], _leaky)
+    p4 = _maxpool(down_4)
+    bridge = _crc_xla(p4, p["bridge"], s["bridge"], _leaky)
+
+    relu = lambda t: jnp.maximum(t, 0).astype(t.dtype)
+
+    def deconv_block(h, name):
+        h = _deconv_eval(h, p[name]["deconv"])
+        return relu(_bn_eval(h, p[name]["bn"], s[name]["bn"]))
+
+    up_1 = _crc_xla((deconv_block(bridge, "deconv_1") + down_4) / 2,
+                    p["up_1"], s["up_1"], relu)
+    up_2 = _crc_xla((deconv_block(up_1, "deconv_2") + down_3) / 2,
+                    p["up_2"], s["up_2"], relu)
+
+    # L2 decoder (packed)
+    u3_in = (deconv_block(up_2, "deconv_3") + down_2) / 2
+    u3q = _crc_packed(pack_nhwc(u3_in.astype(_BF)), p["up_3"], s["up_3"],
+                      "relu", 64, wq2x, interpret)
+    up_3 = unpack_nhwc(u3q, 64, w // 2)
+
+    # L1 decoder (packed) + final conv
+    u4_in = (deconv_block(up_3, "deconv_4") + down_1) / 2
+    u4q = _crc_packed(pack_nhwc(u4_in.astype(_BF)), p["up_4"], s["up_4"],
+                      "relu", 32, wq1, interpret)
+    r, sc, sh = _packed_conv_args(p["out"]["Conv_0"], None, None, 32)
+    outq = conv3x3_packed(u4q, r, sc, sh, None, wq=wq1, interpret=interpret)
+    return unpack_nhwc(outq, 32, w)[..., :output_nc]
+
+
+# ---------------------------------------------------------------------------
+# UNetSFF
+# ---------------------------------------------------------------------------
+
+def _contract_packed(xq, p, s, c, wq, interpret=False):
+    h = _cb(xq, {"conv": p["conv0"], "bn": p["bn0"]},
+            {"bn": s["bn0"]}, "relu", c, wq, interpret)
+    return _cb(h, {"conv": p["conv1"], "bn": p["bn1"]},
+               {"bn": s["bn1"]}, "relu", c, wq, interpret)
+
+
+def _rezero_borders(yq, wq):
+    """Re-establish the zero-quad border invariant after an XLA-side
+    affine with nonzero shift touched the pads."""
+    quad = jnp.arange(yq.shape[2])[None, None, :, None]
+    return jnp.where((quad == 0) | (quad > wq), jnp.zeros_like(yq), yq)
+
+
+def _split_concat_conv_packed(aq, bq, conv_p, bn_p, bn_s, c, ca, wq,
+                              interpret=False):
+    """conv(concat(a, b)) + BN + ReLU via weight split; a carries the first
+    ca in-channels, b the rest; both packed at C=c. Returns packed output
+    with the zero-border invariant restored."""
+    w = conv_p["kernel"]
+    wa = {"kernel": w[:, :, :ca], "bias": conv_p["bias"]}
+    wb = {"kernel": w[:, :, ca:], "bias": jnp.zeros_like(conv_p["bias"])}
+    ra, sca, sha = _packed_conv_args(wa, None, None, c)
+    rb, scb, shb = _packed_conv_args(wb, None, None, c)
+    ya = conv3x3_packed(aq, ra, sca, sha, None, wq=wq, interpret=interpret)
+    yb = conv3x3_packed(bq, rb, scb, shb, None, wq=wq, interpret=interpret)
+    y = ya + yb
+    sbn, tbn = _bn_affine(bn_p["BatchNorm_0"], bn_s["BatchNorm_0"])
+    sl = jnp.tile(sbn, 128 // c)
+    tl = jnp.tile(tbn, 128 // c)
+    y = jnp.maximum(y.astype(jnp.float32) * sl + tl, 0.0).astype(_BF)
+    return _rezero_borders(y, wq)
+
+
+def unet_sff_serve(variables, x, out_channel=1, interpret=False):
+    """Eval-mode UNetSFF forward; encode1/final packed at C=32 full res,
+    encode2/decode2-convs packed at C=64 half res; rest XLA."""
+    p = variables["params"]
+    s = variables["batch_stats"]
+    n, h, w, _ = x.shape
+    wq1, wq2x = w // 4, (w // 2) // 2
+    relu = lambda t: jnp.maximum(t, 0).astype(t.dtype)
+
+    xq = pack_nhwc(x.astype(_BF), pad_c=32 - x.shape[-1])
+    e1q = _contract_packed(xq, p["conv_encode1"], s["conv_encode1"], 32,
+                           wq1, interpret)
+    e1 = unpack_nhwc(e1q, 32, w)
+    p1 = _maxpool(e1)
+
+    e2q = _contract_packed(pack_nhwc(p1, pad_c=32), p["conv_encode2"],
+                           s["conv_encode2"], 64, wq2x, interpret)
+    e2 = unpack_nhwc(e2q, 64, w // 2)
+    p2 = _maxpool(e2)
+
+    def cb_xla(h, cp, bp, bs):
+        return relu(_bn_eval(_conv_eval(h, cp["Conv_0"]), bp, bs))
+
+    e3 = cb_xla(p2, p["conv_encode3"]["conv0"], p["conv_encode3"]["bn0"],
+                s["conv_encode3"]["bn0"])
+    e3 = cb_xla(e3, p["conv_encode3"]["conv1"], p["conv_encode3"]["bn1"],
+                s["conv_encode3"]["bn1"])
+    p3 = _maxpool(e3)
+
+    b = cb_xla(p3, p["bottleneck_conv0"], p["bottleneck_bn0"],
+               s["bottleneck_bn0"])
+    b = cb_xla(b, p["bottleneck_conv1"], p["bottleneck_bn1"],
+               s["bottleneck_bn1"])
+    b = _deconv_eval(b, p["bottleneck_deconv"])
+    b = relu(_bn_eval(b, p["bottleneck_bn2"], s["bottleneck_bn2"]))
+
+    # decode3 (XLA @ 320): concat(b, e3) -> conv 256->128, conv 128->128,
+    # deconv 128->64
+    d3 = jnp.concatenate([b, e3.astype(b.dtype)], axis=-1)
+    c2 = cb_xla(d3, p["conv_decode3"]["conv0"], p["conv_decode3"]["bn0"],
+                s["conv_decode3"]["bn0"])
+    c2 = cb_xla(c2, p["conv_decode3"]["conv1"], p["conv_decode3"]["bn1"],
+                s["conv_decode3"]["bn1"])
+    c2 = _deconv_eval(c2, p["conv_decode3"]["deconv"])
+    c2 = relu(_bn_eval(c2, p["conv_decode3"]["bn2"],
+                       s["conv_decode3"]["bn2"]))
+
+    # decode2 (packed @ 640): conv(concat(c2, e2)) 128->64 via weight split
+    c2q = pack_nhwc(c2.astype(_BF))
+    h64q = _split_concat_conv_packed(
+        c2q, e2q, p["conv_decode2"]["conv0"]["Conv_0"],
+        p["conv_decode2"]["bn0"], s["conv_decode2"]["bn0"], 64, 64, wq2x,
+        interpret)
+    h64q = _cb(h64q,
+               {"conv": p["conv_decode2"]["conv1"],
+                "bn": p["conv_decode2"]["bn1"]},
+               {"bn": s["conv_decode2"]["bn1"]}, "relu", 64, wq2x, interpret)
+    c1 = unpack_nhwc(h64q, 64, w // 2)
+    c1 = _deconv_eval(c1, p["conv_decode2"]["deconv"])
+    c1 = relu(_bn_eval(c1, p["conv_decode2"]["bn2"],
+                       s["conv_decode2"]["bn2"]))
+
+    # final (packed @ full res): conv(concat(c1, e1)) 64->32 via split
+    c1q = pack_nhwc(c1.astype(_BF))
+    f = _split_concat_conv_packed(
+        c1q, e1q, p["final_conv0"]["Conv_0"], p["final_bn0"],
+        s["final_bn0"], 32, 32, wq1, interpret)
+    fq = _cb(f, {"conv": p["final_conv1"], "bn": p["final_bn1"]},
+             {"bn": s["final_bn1"]}, "relu", 32, wq1, interpret)
+    return unpack_nhwc(fq, 32, w)[..., :out_channel]
+
+
+# ---------------------------------------------------------------------------
+# IFNet (SFF/SP kernel-prediction net)
+# ---------------------------------------------------------------------------
+
+def _conv_module_packed(xq, p, c, wq, cin=None, interpret=False):
+    """IFNet _ConvModule (3x conv+relu, no BN) on the packed layout."""
+    out = xq
+    for name in ("conv0", "conv1", "conv2"):
+        r, sc, sh = _packed_conv_args(p[name]["Conv_0"], None, None, c)
+        out = conv3x3_packed(out, r, sc, sh, "relu", wq=wq,
+                             interpret=interpret)
+    return out
+
+
+def _conv_module_xla(x, p):
+    h = x
+    for name in ("conv0", "conv1", "conv2"):
+        h = jnp.maximum(_conv_eval(h, p[name]["Conv_0"]), 0).astype(_BF)
+    return h
+
+
+def _upsample_module_xla(x, p, out_hw=None):
+    from sstem_tpu.ops import upsample_bilinear_align_corners
+
+    h = upsample_bilinear_align_corners(x.astype(_BF), 2, out_hw=out_hw)
+    return jnp.maximum(_conv_eval(h, p["conv"]["Conv_0"]), 0).astype(_BF)
+
+
+def ifnet_serve(variables, x, kernel_size=51, n_frames=1, assume_gray=True,
+                interpret=False):
+    """Eval-mode IFNet forward: packed convs at full res (conv32 module)
+    and half res (conv64 / upconv64 / upsamp64 / head conv0-2), the planar
+    upsample + conv3 + Pallas sepconv tail of models/ifnet.py (packed=True)
+    unchanged. Matches IFNet.apply at bf16 tolerance.
+
+    Reference: sff_scripts_interp/model/model_interp.py:55-107 (SFF) and
+    sp_scripts_train/networks.py:68-129 (SP 2-frame)."""
+    from sstem_tpu.config import matmul_precision
+    from sstem_tpu.kernels import sepconv_planar
+    from sstem_tpu.ops import replication_pad_2d, upsample2x_planar_mxu
+
+    p = variables["params"]
+    n, h, w, _ = x.shape
+    i1 = x[..., 0:3]
+    i2 = x[..., 3:6]
+    wq1, wq2x = w // 4, (w // 2) // 2
+
+    # ---- contraction ----
+    xq = pack_nhwc(x.astype(_BF), pad_c=32 - x.shape[-1])
+    x32q = _conv_module_packed(xq, p["conv32"], 32, wq1, interpret=interpret)
+    x32 = unpack_nhwc(x32q, 32, w)
+    xp1 = lax.reduce_window(
+        x32.astype(jnp.float32), 0.0, lax.add, (1, 2, 2, 1), (1, 2, 2, 1),
+        "VALID") * 0.25
+    x64q = _conv_module_packed(pack_nhwc(xp1.astype(_BF), pad_c=32),
+                               p["conv64"], 64, wq2x, interpret=interpret)
+    x64 = unpack_nhwc(x64q, 64, w // 2)
+
+    def avg_pool(t):
+        return (lax.reduce_window(
+            t.astype(jnp.float32), 0.0, lax.add, (1, 2, 2, 1), (1, 2, 2, 1),
+            "VALID") * 0.25).astype(_BF)
+
+    x128 = _conv_module_xla(avg_pool(x64), p["conv128"])
+    x256 = _conv_module_xla(avg_pool(x128), p["conv256"])
+    x512 = _conv_module_xla(avg_pool(x256), p["conv512"])
+    xb = _conv_module_xla(avg_pool(x512), p["conv512x512"])
+
+    # ---- expansion (additive skips) ----
+    xb = _upsample_module_xla(xb, p["upsamp512"],
+                              out_hw=x512.shape[1:3]) + x512
+    xb = _conv_module_xla(xb, p["upconv256"])
+    xb = _upsample_module_xla(xb, p["upsamp256"],
+                              out_hw=x256.shape[1:3]) + x256
+    xb = _conv_module_xla(xb, p["upconv128"])
+    xb = _upsample_module_xla(xb, p["upsamp128"],
+                              out_hw=x128.shape[1:3]) + x128
+    xb = _conv_module_xla(xb, p["upconv64"])  # 128 -> 64 at quarter res
+    # half-res level packed: upsample to W/2, conv 64->64, skip from x64
+    from sstem_tpu.ops import upsample_bilinear_align_corners
+    up = upsample_bilinear_align_corners(
+        xb, 2, out_hw=x64.shape[1:3]).astype(_BF)
+    r, sc, sh = _packed_conv_args(p["upsamp64"]["conv"]["Conv_0"], None,
+                                  None, 64)
+    upq = conv3x3_packed(pack_nhwc(up), r, sc, sh, "relu", wq=wq2x,
+                         interpret=interpret)
+    featq = upq + x64q  # additive skip, packed
+
+    # ---- kernel heads (conv0-2 packed; planar upsample+conv3+sepconv) ----
+    pad = kernel_size // 2
+    if assume_gray:
+        i1 = i1[..., 0:1]
+        i2 = i2[..., 0:1]
+    padded_i1 = replication_pad_2d(i1, pad).astype(_BF)
+    padded_i2 = replication_pad_2d(i2, pad).astype(_BF)
+    padded_i1 = jnp.transpose(padded_i1, (0, 3, 1, 2))
+    padded_i2 = jnp.transpose(padded_i2, (0, 3, 1, 2))
+
+    def head(hp):
+        hq = featq
+        for name in ("conv0", "conv1"):
+            rr, ss, hh = _packed_conv_args(hp[name]["Conv_0"], None, None, 64)
+            hq = conv3x3_packed(hq, rr, ss, hh, "relu", wq=wq2x,
+                                interpret=interpret)
+        rr, ss, hh = _packed_conv_args(hp["conv2"]["Conv_0"], None, None, 64)
+        hq = conv3x3_packed(hq, rr, ss, hh, "relu", wq=wq2x,
+                            interpret=interpret)
+        # planar tail: (N, K, H/2, W/2) -> upsample -> conv3 (NCHW)
+        hmap = unpack_nhwc(hq, 64, w // 2)[..., :kernel_size]
+        hp_pl = jnp.transpose(hmap, (0, 3, 1, 2))
+        hp_pl = upsample2x_planar_mxu(hp_pl, precision=matmul_precision())
+        w3 = hp["conv3"]["Conv_0"]["kernel"].astype(_BF)
+        b3 = hp["conv3"]["Conv_0"]["bias"].astype(_BF)
+        y = lax.conv_general_dilated(
+            hp_pl, w3, (1, 1), [(1, 1)] * 2,
+            dimension_numbers=("NCHW", "HWIO", "NCHW"),
+            precision=matmul_precision())
+        return y + b3[None, :, None, None]
+
+    outs = []
+    for f in range(n_frames):
+        sfx = "" if n_frames == 1 else f"_f{f + 1}"
+        k2h = head(p[f"head2h{sfx}"])
+        k2v = head(p[f"head2v{sfx}"])
+        k1h = head(p[f"head1h{sfx}"])
+        k1v = head(p[f"head1v{sfx}"])
+        y = sepconv_planar(padded_i2, k2v, k2h) + sepconv_planar(
+            padded_i1, k1v, k1h)
+        y = jnp.transpose(y, (0, 2, 3, 1))
+        if not assume_gray:
+            y = jnp.mean(y, axis=-1, keepdims=True)
+        outs.append(y)
+    out = jnp.concatenate(outs, axis=-1) if len(outs) > 1 else outs[0]
+    return out.astype(jnp.float32)

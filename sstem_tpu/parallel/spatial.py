@@ -20,7 +20,8 @@ from jax.experimental.shard_map import shard_map
 from jax.sharding import PartitionSpec as P
 
 
-def spatial_apply(apply_fn, image, mesh, halo, axis="space"):
+def spatial_apply(apply_fn, image, mesh, halo, axis="space",
+                  batch_axis=None):
     """Apply a local model over a row-sharded image batch.
 
     Args:
@@ -30,6 +31,8 @@ def spatial_apply(apply_fn, image, mesh, halo, axis="space"):
       mesh: Mesh containing ``axis``.
       halo: boundary rows exchanged with each neighbor (>= receptive-field
         margin for exactness).
+      batch_axis: optional mesh axis name to additionally shard the batch
+        dim over (dp x sp: sections over 'data', rows over 'space').
 
     Returns (N, H, W, C_out) == apply_fn(zero-extended canvas) cropped.
     """
@@ -42,6 +45,8 @@ def spatial_apply(apply_fn, image, mesh, halo, axis="space"):
     )
 
     def local(xb):
+        if halo == 0:
+            return apply_fn(xb)
         top = xb[:, :halo]
         bot = xb[:, -halo:]
         up = [(i, i - 1) for i in range(1, n)]
@@ -52,7 +57,7 @@ def spatial_apply(apply_fn, image, mesh, halo, axis="space"):
         out = apply_fn(padded)
         return out[:, halo:-halo]
 
-    spec_in = P(None, axis, None, None)
+    spec_in = P(batch_axis, axis, None, None)
     fn = shard_map(local, mesh=mesh, in_specs=(spec_in,),
                    out_specs=spec_in, check_rep=False)
     out = fn(canvas)

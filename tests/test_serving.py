@@ -1,0 +1,87 @@
+"""Packed serving forwards vs the flax modules (eval mode, CPU interpret)."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from sstem_tpu.models import FusionNet, UNetSFF
+from sstem_tpu.models.serving import fusionnet_serve, unet_sff_serve
+
+RNG = np.random.default_rng(11)
+
+
+def _init(model, shape):
+    key = jax.random.PRNGKey(0)
+    x = jnp.zeros(shape, jnp.float32)
+    variables = jax.jit(
+        lambda k, t: model.init(k, t, train=True))(key, x)
+    # run a couple of train steps' worth of stat updates so BN stats are
+    # not the all-zero/one init (a real fold test)
+    for i in range(2):
+        xb = jnp.asarray(RNG.random(shape), jnp.float32)
+        _, mut = model.apply(variables, xb, train=True,
+                             mutable=["batch_stats"])
+        variables = {"params": variables["params"], **mut}
+    return variables
+
+
+def test_fusionnet_serve_matches_flax():
+    model = FusionNet(output_nc=2, ngf=32)
+    shape = (1, 32, 64, 6)
+    variables = _init(model, shape)
+    x = jnp.asarray(RNG.random(shape), jnp.float32)
+    want = model.apply(variables, x, train=False)
+    got = fusionnet_serve(variables, x, interpret=True)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=0.05, rtol=0.1)
+
+
+def test_unet_sff_serve_matches_flax():
+    model = UNetSFF(out_channel=1)
+    shape = (1, 32, 64, 6)
+    variables = _init(model, shape)
+    x = jnp.asarray(RNG.random(shape), jnp.float32)
+    want = model.apply(variables, x, train=False)
+    got = unet_sff_serve(variables, x, interpret=True)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=0.05, rtol=0.1)
+
+
+def test_ifnet_serve_matches_flax():
+    from sstem_tpu.models import IFNet
+    from sstem_tpu.models.serving import ifnet_serve
+
+    k = 11  # small kernel keeps the CPU interpret run fast
+    model = IFNet(kernel_size=k, n_frames=1)
+    shape = (1, 64, 64, 6)
+    key = jax.random.PRNGKey(2)
+    variables = jax.jit(model.init)(key, jnp.zeros(shape, jnp.float32))
+    g = RNG.random((2, 1, 64, 64, 1))
+    x = jnp.asarray(np.concatenate(
+        [np.repeat(g[0], 3, -1), np.repeat(g[1], 3, -1)], -1), jnp.float32)
+    # compare against the flax model at the same serving dtype (bf16):
+    # random orthogonal weights amplify f32-vs-bf16 drift beyond what
+    # trained weights see
+    import sstem_tpu.config as cfg
+
+    cfg.set_compute_dtype("bfloat16")
+    try:
+        want = model.apply(variables, x)
+        got = ifnet_serve(variables, x, kernel_size=k, interpret=True)
+    finally:
+        cfg.set_compute_dtype(None)
+    assert got.shape == want.shape
+    got = np.asarray(got, np.float32)
+    want = np.asarray(want, np.float32)
+    # random-init activations reach |y| ~ 10 and small outputs arise from
+    # cancellation, so pointwise relative error is ill-posed; bf16 noise
+    # compounds to a few percent of the output SCALE over the ~25-conv
+    # depth. Structural bugs (mis-wired skip, wrong module, dropped tap)
+    # produce order-one normalized error.
+    nrmse = float(np.sqrt(np.mean((got - want) ** 2)) / (want.std() + 1e-6))
+    assert nrmse < 0.05, f"NRMSE {nrmse:.4f}"
