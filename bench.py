@@ -41,7 +41,7 @@ REFERENCE_GPU_MPS = 1.6
 SECTION = 1250
 N_SECTIONS = 25
 DAMAGED = list(range(1, N_SECTIONS - 1, 2))  # 12 damaged sections
-BATCH = 4
+BATCH = int(__import__("os").environ.get("BENCH_BATCH", "4"))
 
 
 def main():

@@ -104,8 +104,25 @@ def unpack_nhwc(xq, c: int, w: int, drop_c: int = 0):
     return x[..., : c - drop_c] if drop_c else x
 
 
+def _kernel_res(ty: int, n_row_tiles: int, wq: int, act: str,
+                res_pre: bool,
+                x_hbm, r_ref, sc_ref, sh_ref, res_ref, out_ref, buf, sem):
+    """Variant with a fused residual input (same packed layout): added to
+    the accumulator before (res_pre) or after the affine, before the
+    activation."""
+    _kernel_body(ty, n_row_tiles, wq, act, x_hbm, r_ref, sc_ref, sh_ref,
+                 out_ref, buf, sem, res_ref=res_ref, res_pre=res_pre)
+
+
 def _kernel(ty: int, n_row_tiles: int, wq: int, act: str,
             x_hbm, r_ref, sc_ref, sh_ref, out_ref, buf, sem):
+    _kernel_body(ty, n_row_tiles, wq, act, x_hbm, r_ref, sc_ref, sh_ref,
+                 out_ref, buf, sem)
+
+
+def _kernel_body(ty, n_row_tiles, wq, act,
+                 x_hbm, r_ref, sc_ref, sh_ref, out_ref, buf, sem,
+                 res_ref=None, res_pre=False):
     n = pl.program_id(0)
     t = pl.program_id(1)
     rows = buf.shape[0]          # ty + 2
@@ -145,7 +162,11 @@ def _kernel(ty: int, n_row_tiles: int, wq: int, act: str,
                 preferred_element_type=jnp.float32,
             )
 
+    if res_ref is not None and res_pre:
+        acc = acc + res_ref[0].reshape(m, _LANES).astype(jnp.float32)
     acc = acc * sc_ref[0] + sh_ref[0]
+    if res_ref is not None and not res_pre:
+        acc = acc + res_ref[0].reshape(m, _LANES).astype(jnp.float32)
     if act == "relu":
         acc = jnp.maximum(acc, 0.0)
     elif act == "leaky":
@@ -157,7 +178,8 @@ def _kernel(ty: int, n_row_tiles: int, wq: int, act: str,
     out_ref[0] = y.astype(out_ref.dtype)
 
 
-def conv3x3_packed(xq, r, scale, shift, act=None, *, wq, interpret=False):
+def conv3x3_packed(xq, r, scale, shift, act=None, *, wq, residual=None,
+                  residual_pre_affine=False, interpret=False):
     """Fused conv3x3 + affine + activation on the packed layout.
 
     Args:
@@ -169,6 +191,10 @@ def conv3x3_packed(xq, r, scale, shift, act=None, *, wq, interpret=False):
         pattern is the channel vector tiled P times.
       act: None | 'relu' | 'leaky' (LeakyReLU 0.2).
       wq: number of real quads (W // P).
+      residual: optional packed tensor (same shape) added in the epilogue —
+        before the affine when residual_pre_affine (sum-of-convs stages),
+        after it otherwise (residual blocks) — always before the
+        activation.
     Returns packed output of the same shape/dtype with zero borders.
     """
     n, h, wq2, lanes = xq.shape
@@ -176,15 +202,25 @@ def conv3x3_packed(xq, r, scale, shift, act=None, *, wq, interpret=False):
     ty = 8 if wq2 <= 384 else 4
     assert h % ty == 0, f"H={h} must be a multiple of {ty}"
     n_row_tiles = h // ty
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.HBM),
+        pl.BlockSpec((3, 3, _LANES, _LANES), lambda i, t: (0, 0, 0, 0)),
+        pl.BlockSpec((1, _LANES), lambda i, t: (0, 0)),
+        pl.BlockSpec((1, _LANES), lambda i, t: (0, 0)),
+    ]
+    args = [xq, r, scale[None], shift[None]]
+    if residual is not None:
+        in_specs.append(
+            pl.BlockSpec((1, ty, wq2, _LANES), lambda i, t: (i, t, 0, 0)))
+        args.append(residual)
+        kern = functools.partial(_kernel_res, ty, n_row_tiles, wq,
+                                 act or "none", residual_pre_affine)
+    else:
+        kern = functools.partial(_kernel, ty, n_row_tiles, wq, act or "none")
     return pl.pallas_call(
-        functools.partial(_kernel, ty, n_row_tiles, wq, act or "none"),
+        kern,
         grid=(n, n_row_tiles),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec((3, 3, _LANES, _LANES), lambda i, t: (0, 0, 0, 0)),
-            pl.BlockSpec((1, _LANES), lambda i, t: (0, 0)),
-            pl.BlockSpec((1, _LANES), lambda i, t: (0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, ty, wq2, _LANES),
                                lambda i, t: (i, t, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((n, h, wq2, _LANES), xq.dtype),
@@ -198,7 +234,7 @@ def conv3x3_packed(xq, r, scale, shift, act=None, *, wq, interpret=False):
             transcendentals=0,
         ),
         interpret=interpret,
-    )(xq, r, scale[None], shift[None])
+    )(*args)
 
 
 def conv3x3_fused(x, w, bias=None, bn_scale=None, bn_shift=None, act=None,

@@ -104,7 +104,8 @@ def _deconv_eval(x, p):
 
 
 def _crc_packed(xq, p, s, act, c, wq, interpret=False):
-    """ConvResidualConv on the packed layout (FusionNet block)."""
+    """ConvResidualConv on the packed layout (FusionNet block); the
+    residual add fuses into the conv_2 tail conv's epilogue."""
     c1 = _cb(xq, p["conv_1"], s["conv_1"], act, c, wq, interpret)
     h = _cb(c1, p["conv_2"]["block0"], s["conv_2"]["block0"], act, c, wq,
             interpret)
@@ -113,8 +114,8 @@ def _crc_packed(xq, p, s, act, c, wq, interpret=False):
     r, sc, sh = _packed_conv_args(p["conv_2"]["conv"]["Conv_0"],
                                   p["conv_2"]["bn"]["BatchNorm_0"],
                                   s["conv_2"]["bn"]["BatchNorm_0"], c)
-    c2 = conv3x3_packed(h, r, sc, sh, None, wq=wq, interpret=interpret)
-    res = c1 + c2
+    res = conv3x3_packed(h, r, sc, sh, None, wq=wq, residual=c1,
+                         interpret=interpret)
     return _cb(res, p["conv_3"], s["conv_3"], act, c, wq, interpret)
 
 
@@ -130,6 +131,25 @@ def _crc_xla(x, p, s, act_fn):
     c2 = _bn_eval(_conv_eval(h, p["conv_2"]["conv"]["Conv_0"]),
                   p["conv_2"]["bn"], s["conv_2"]["bn"])
     return cb(c1 + c2, p["conv_3"], s["conv_3"])
+
+
+def _deconv_packed(xq, p, s, c_in, wq, residual=None, act="relu",
+                   res_mode="post_act_half", interpret=False):
+    """Fused packed ConvTranspose(k3 s2) + eval BN + act (+ skip composite).
+
+    c_in -> c_in/2 channels, 2x spatial; quad count is preserved."""
+    from sstem_tpu.kernels.deconv import (
+        build_packed_deconv_weights, deconv2x_packed)
+
+    c_out = c_in // 2
+    w = p["deconv"]["kernel"].astype(_BF)
+    b = p["deconv"]["bias"]
+    bs, bt = _bn_affine(p["bn"]["BatchNorm_0"], s["bn"]["BatchNorm_0"])
+    r = build_packed_deconv_weights(w, c_in)
+    sc, sh = fold_affine(c_out, b, bs, bt)
+    return deconv2x_packed(xq, r, sc, sh, act=act, wq=wq,
+                           residual=residual, res_mode=res_mode,
+                           interpret=interpret)
 
 
 def _maxpool(x):
@@ -151,15 +171,15 @@ def fusionnet_serve(variables, x, output_nc=2, ngf=32, interpret=False):
     n, h, w, _ = x.shape
     wq1, wq2x = w // 4, (w // 2) // 2  # quads at L1 (P=4), L2 (P=2)
 
+    from sstem_tpu.kernels.pool import pool2x_packed
+
     # L1 encoder (packed, C=32; 6-channel input zero-padded into packing)
     xq = pack_nhwc(x.astype(_BF), pad_c=32 - x.shape[-1])
     d1q = _crc_packed(xq, p["down_1"], s["down_1"], "leaky", 32, wq1,
                       interpret)
-    down_1 = unpack_nhwc(d1q, 32, w)
-    p1 = _maxpool(down_1)
 
-    # L2 encoder (packed, C=64; 32-channel input padded)
-    p1q = pack_nhwc(p1, pad_c=32)
+    # L2 encoder (packed, C=64): the packed pool emits the C=64 layout
+    p1q = pool2x_packed(d1q, 32, "max", wq=wq1, interpret=interpret)
     d2q = _crc_packed(p1q, p["down_2"], s["down_2"], "leaky", 64, wq2x,
                       interpret)
     down_2 = unpack_nhwc(d2q, 64, w // 2)
@@ -183,16 +203,19 @@ def fusionnet_serve(variables, x, output_nc=2, ngf=32, interpret=False):
     up_2 = _crc_xla((deconv_block(up_1, "deconv_2") + down_3) / 2,
                     p["up_2"], s["up_2"], relu)
 
-    # L2 decoder (packed)
-    u3_in = (deconv_block(up_2, "deconv_3") + down_2) / 2
-    u3q = _crc_packed(pack_nhwc(u3_in.astype(_BF)), p["up_3"], s["up_3"],
-                      "relu", 64, wq2x, interpret)
-    up_3 = unpack_nhwc(u3q, 64, w // 2)
+    # L2 decoder: fused packed deconv (128 -> 64 @ 320 -> 640) with the
+    # (act(bn(deconv)) + skip) / 2 composite in the epilogue
+    u3_in_q = _deconv_packed(
+        pack_nhwc(up_2.astype(_BF)), p["deconv_3"], s["deconv_3"], 128,
+        wq2x, residual=d2q, interpret=interpret)
+    u3q = _crc_packed(u3_in_q, p["up_3"], s["up_3"], "relu", 64, wq2x,
+                      interpret)
 
-    # L1 decoder (packed) + final conv
-    u4_in = (deconv_block(up_3, "deconv_4") + down_1) / 2
-    u4q = _crc_packed(pack_nhwc(u4_in.astype(_BF)), p["up_4"], s["up_4"],
-                      "relu", 32, wq1, interpret)
+    # L1 decoder: fused packed deconv (64 -> 32 @ 640 -> 1280) + skip
+    u4_in_q = _deconv_packed(u3q, p["deconv_4"], s["deconv_4"], 64, wq1,
+                             residual=d1q, interpret=interpret)
+    u4q = _crc_packed(u4_in_q, p["up_4"], s["up_4"], "relu", 32, wq1,
+                      interpret)
     r, sc, sh = _packed_conv_args(p["out"]["Conv_0"], None, None, 32)
     outq = conv3x3_packed(u4q, r, sc, sh, None, wq=wq1, interpret=interpret)
     return unpack_nhwc(outq, 32, w)[..., :output_nc]
@@ -225,15 +248,17 @@ def _split_concat_conv_packed(aq, bq, conv_p, bn_p, bn_s, c, ca, wq,
     wa = {"kernel": w[:, :, :ca], "bias": conv_p["bias"]}
     wb = {"kernel": w[:, :, ca:], "bias": jnp.zeros_like(conv_p["bias"])}
     ra, sca, sha = _packed_conv_args(wa, None, None, c)
-    rb, scb, shb = _packed_conv_args(wb, None, None, c)
     ya = conv3x3_packed(aq, ra, sca, sha, None, wq=wq, interpret=interpret)
-    yb = conv3x3_packed(bq, rb, scb, shb, None, wq=wq, interpret=interpret)
-    y = ya + yb
     sbn, tbn = _bn_affine(bn_p["BatchNorm_0"], bn_s["BatchNorm_0"])
-    sl = jnp.tile(sbn, 128 // c)
-    tl = jnp.tile(tbn, 128 // c)
-    y = jnp.maximum(y.astype(jnp.float32) * sl + tl, 0.0).astype(_BF)
-    return _rezero_borders(y, wq)
+    rb = build_packed_weights(
+        jnp.pad(wb["kernel"].astype(_BF),
+                [(0, 0), (0, 0), (0, 0), (0, c - w.shape[3])])
+        if w.shape[3] < c else wb["kernel"].astype(_BF), _LANES // c)
+    scb, shb = fold_affine(c, None, sbn, tbn)
+    # conv_b folds BN + relu; conv_a's (bias-carrying) output joins the
+    # accumulator before the affine
+    return conv3x3_packed(bq, rb, scb, shb, "relu", wq=wq, residual=ya,
+                          residual_pre_affine=True, interpret=interpret)
 
 
 def unet_sff_serve(variables, x, out_channel=1, interpret=False):
@@ -245,14 +270,16 @@ def unet_sff_serve(variables, x, out_channel=1, interpret=False):
     wq1, wq2x = w // 4, (w // 2) // 2
     relu = lambda t: jnp.maximum(t, 0).astype(t.dtype)
 
+    from sstem_tpu.kernels.pool import pool2x_packed
+
     xq = pack_nhwc(x.astype(_BF), pad_c=32 - x.shape[-1])
     e1q = _contract_packed(xq, p["conv_encode1"], s["conv_encode1"], 32,
                            wq1, interpret)
-    e1 = unpack_nhwc(e1q, 32, w)
-    p1 = _maxpool(e1)
 
-    e2q = _contract_packed(pack_nhwc(p1, pad_c=32), p["conv_encode2"],
-                           s["conv_encode2"], 64, wq2x, interpret)
+    e2q = _contract_packed(pool2x_packed(e1q, 32, "max", wq=wq1,
+                                         interpret=interpret),
+                           p["conv_encode2"], s["conv_encode2"], 64, wq2x,
+                           interpret)
     e2 = unpack_nhwc(e2q, 64, w // 2)
     p2 = _maxpool(e2)
 
@@ -272,19 +299,20 @@ def unet_sff_serve(variables, x, out_channel=1, interpret=False):
     b = _deconv_eval(b, p["bottleneck_deconv"])
     b = relu(_bn_eval(b, p["bottleneck_bn2"], s["bottleneck_bn2"]))
 
-    # decode3 (XLA @ 320): concat(b, e3) -> conv 256->128, conv 128->128,
-    # deconv 128->64
+    # decode3: concat(b, e3) -> conv 256->128, conv 128->128 (XLA @ 320),
+    # then fused packed deconv 128->64 @ 320 -> 640
     d3 = jnp.concatenate([b, e3.astype(b.dtype)], axis=-1)
     c2 = cb_xla(d3, p["conv_decode3"]["conv0"], p["conv_decode3"]["bn0"],
                 s["conv_decode3"]["bn0"])
     c2 = cb_xla(c2, p["conv_decode3"]["conv1"], p["conv_decode3"]["bn1"],
                 s["conv_decode3"]["bn1"])
-    c2 = _deconv_eval(c2, p["conv_decode3"]["deconv"])
-    c2 = relu(_bn_eval(c2, p["conv_decode3"]["bn2"],
-                       s["conv_decode3"]["bn2"]))
+    c2q = _deconv_packed(
+        pack_nhwc(c2.astype(_BF)),
+        {"deconv": p["conv_decode3"]["deconv"],
+         "bn": p["conv_decode3"]["bn2"]},
+        {"bn": s["conv_decode3"]["bn2"]}, 128, wq2x, interpret=interpret)
 
     # decode2 (packed @ 640): conv(concat(c2, e2)) 128->64 via weight split
-    c2q = pack_nhwc(c2.astype(_BF))
     h64q = _split_concat_conv_packed(
         c2q, e2q, p["conv_decode2"]["conv0"]["Conv_0"],
         p["conv_decode2"]["bn0"], s["conv_decode2"]["bn0"], 64, 64, wq2x,
@@ -293,13 +321,14 @@ def unet_sff_serve(variables, x, out_channel=1, interpret=False):
                {"conv": p["conv_decode2"]["conv1"],
                 "bn": p["conv_decode2"]["bn1"]},
                {"bn": s["conv_decode2"]["bn1"]}, "relu", 64, wq2x, interpret)
-    c1 = unpack_nhwc(h64q, 64, w // 2)
-    c1 = _deconv_eval(c1, p["conv_decode2"]["deconv"])
-    c1 = relu(_bn_eval(c1, p["conv_decode2"]["bn2"],
-                       s["conv_decode2"]["bn2"]))
+    # fused packed deconv 64->32 @ 640 -> 1280
+    c1q = _deconv_packed(
+        h64q,
+        {"deconv": p["conv_decode2"]["deconv"],
+         "bn": p["conv_decode2"]["bn2"]},
+        {"bn": s["conv_decode2"]["bn2"]}, 64, wq1, interpret=interpret)
 
     # final (packed @ full res): conv(concat(c1, e1)) 64->32 via split
-    c1q = pack_nhwc(c1.astype(_BF))
     f = _split_concat_conv_packed(
         c1q, e1q, p["final_conv0"]["Conv_0"], p["final_bn0"],
         s["final_bn0"], 32, 32, wq1, interpret)
