@@ -101,6 +101,52 @@ def run_checks():
            jnp.max(jnp.abs(a - b)) / scale, 1e-4)
     cfg.set_matmul_precision("default")
 
+    # --- packed conv3x3 / deconv / pool kernels vs XLA oracles ------------
+    from sstem_tpu.kernels.conv3x3 import (
+        build_packed_weights, conv3x3_fused, conv3x3_packed,
+        conv3x3_reference, fold_affine, pack_nhwc, unpack_nhwc)
+    from sstem_tpu.kernels.deconv import (
+        build_packed_deconv_weights, deconv2x_packed, deconv2x_reference)
+    from sstem_tpu.kernels.pool import pool2x_packed
+
+    for c, hw in [(32, 1280), (64, 640), (32, 904)]:
+        x = jnp.asarray(rng.standard_normal((1, 328 if hw == 904 else hw,
+                                             hw, c)), jnp.float32)
+        wk = jnp.asarray(rng.standard_normal((3, 3, c, c)) / (3 * np.sqrt(c)),
+                         jnp.float32)
+        b = jnp.asarray(rng.standard_normal((c,)) * 0.1, jnp.float32)
+        y = jax.jit(lambda xx, ww, bb: conv3x3_fused(xx, ww, bb,
+                                                     act="leaky"))(x, wk, b)
+        ref = conv3x3_reference(x, wk, b, act="leaky")
+        record(f"packed_conv3x3_c{c}_{hw}",
+               jnp.max(jnp.abs(y.astype(jnp.float32) - ref)), 8e-2)
+
+    cin = 64
+    x = jnp.asarray(rng.standard_normal((1, 320, 640, cin)), jnp.float32)
+    wk = jnp.asarray(rng.standard_normal((3, 3, cin // 2, cin)) / 16,
+                     jnp.float32)
+    b = jnp.asarray(rng.standard_normal((cin // 2,)) * 0.1, jnp.float32)
+    xq = pack_nhwc(x.astype(jnp.bfloat16))
+    r = build_packed_deconv_weights(wk.astype(jnp.bfloat16), cin)
+    sc, sh = fold_affine(cin // 2, b)
+    yq = jax.jit(lambda q, rr: deconv2x_packed(q, rr, sc, sh, act="relu",
+                                               wq=640 // 2))(xq, r)
+    y = unpack_nhwc(yq, cin // 2, 1280)
+    ref = deconv2x_reference(x, wk, b, act="relu")
+    record("packed_deconv_64to32_640",
+           jnp.max(jnp.abs(y.astype(jnp.float32) - ref)), 8e-2)
+
+    x = jnp.asarray(rng.standard_normal((1, 640, 1280, 32)), jnp.float32)
+    xq = pack_nhwc(x.astype(jnp.bfloat16))
+    yq = jax.jit(lambda q: pool2x_packed(q, 32, "max", wq=1280 // 4))(xq)
+    y = unpack_nhwc(yq, 64, 640)[..., :32]
+    import jax.lax as lax
+    ref = lax.reduce_window(x.astype(jnp.bfloat16).astype(jnp.float32),
+                            -jnp.inf, lax.max, (1, 2, 2, 1), (1, 2, 2, 1),
+                            "VALID")
+    record("packed_maxpool_1280",
+           jnp.max(jnp.abs(y.astype(jnp.float32) - ref)), 1e-2)
+
     results["all_ok"] = all(
         v["ok"] for v in results.values() if isinstance(v, dict))
     return results
