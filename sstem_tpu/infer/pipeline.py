@@ -276,8 +276,12 @@ class SPPipeline:
     fusion_vars: Optional[dict] = None
     kernel_size: int = 51
     packed: bool = True
+    packed_conv: Optional[bool] = None  # packed Pallas conv serving for
+        # UNetSP/FusionNetSP (models/serving.py); None = auto (TPU only)
 
     def __post_init__(self):
+        if self.packed_conv is None:
+            self.packed_conv = jax.default_backend() == "tpu"
         self.vfi = IFNet(kernel_size=self.kernel_size, n_frames=2,
                          packed=self.packed)
         self.denoise = UNetSP(1)
@@ -287,6 +291,17 @@ class SPPipeline:
             return self.vfi.apply(variables, x)
 
         def full_fn(dv, fv, vfi_pred, deg2, deg3, m2, m3):
+            if self.packed_conv:
+                from sstem_tpu.models.serving import (
+                    fusionnet_sp_serve, unet_sp_serve)
+
+                den2 = unet_sp_serve(dv, deg2)
+                den3 = unet_sp_serve(dv, deg3)
+                p1 = fusionnet_sp_serve(
+                    fv, vfi_pred[..., 0:1] * (1 - m2), den2 * m2)
+                p2 = fusionnet_sp_serve(
+                    fv, vfi_pred[..., 1:2] * (1 - m3), den3 * m3)
+                return p1, p2, den2, den3
             den2 = self.denoise.apply(dv, deg2, train=False)
             den3 = self.denoise.apply(dv, deg3, train=False)
             p1 = self.fusion.apply(

@@ -471,3 +471,111 @@ def ifnet_serve(variables, x, kernel_size=51, n_frames=1, assume_gray=True,
         outs.append(y)
     out = jnp.concatenate(outs, axis=-1) if len(outs) > 1 else outs[0]
     return out.astype(jnp.float32)
+
+
+# ---------------------------------------------------------------------------
+# SP U-Nets (milesial backbone; UNetSP denoiser + additive FusionNetSP)
+# ---------------------------------------------------------------------------
+
+def _double_conv_packed(xq, p, s, c, wq, cout_pad=None, interpret=False):
+    """DoubleConv (conv+BN+relu x2) packed; conv1's real out channels may be
+    fewer than the packing (cout_pad) — the pad slots stay zero."""
+    h = _cb(xq, {"conv": p["conv0"], "bn": p["bn0"]}, {"bn": s["bn0"]},
+            "relu", c, wq, interpret)
+    return _cb(h, {"conv": p["conv1"], "bn": p["bn1"]}, {"bn": s["bn1"]},
+               "relu", c, wq, interpret)
+
+
+def _split_dc_packed(aq, bq, p, s, c, ca, wq, interpret=False):
+    """DoubleConv whose conv0 consumes concat([a, b]) via weight split."""
+    h = _split_concat_conv_packed(aq, bq, p["conv0"]["Conv_0"], p["bn0"],
+                                  s["bn0"], c, ca, wq, interpret)
+    return _cb(h, {"conv": p["conv1"], "bn": p["bn1"]}, {"bn": s["bn1"]},
+               "relu", c, wq, interpret)
+
+
+def _conv1x1_packed(xq, conv_p, c, wq, interpret=False):
+    """1x1 conv as a center-tap-only packed conv3x3."""
+    w1 = conv_p["kernel"]  # (1, 1, cin, cout)
+    w3 = jnp.pad(w1, [(1, 1), (1, 1), (0, 0), (0, 0)])
+    r, sc, sh = _packed_conv_args({"kernel": w3, "bias": conv_p["bias"]},
+                                  None, None, c)
+    return conv3x3_packed(xq, r, sc, sh, None, wq=wq, interpret=interpret)
+
+
+def unet_sp_backbone_serve(variables, x, n_classes=1, prefix="backbone",
+                           interpret=False):
+    """Eval-mode milesial U-Net forward (sp_scripts_train/networks.py:
+    243-273) with packed conv levels 1 (C=64 @ full res) and 2 (C=128 @
+    half res); deeper levels and the bilinear upsamplings stay on XLA."""
+    from sstem_tpu.kernels.pool import pool2x_packed
+    from sstem_tpu.ops import upsample_bilinear_align_corners
+
+    p = variables["params"][prefix]
+    s = variables["batch_stats"][prefix]
+    n, h, w, cin = x.shape
+    wq1 = w // 2          # C=64 -> P=2
+    relu = lambda t: jnp.maximum(t, 0).astype(t.dtype)
+
+    # inc (1 -> 64 @ full res, packed)
+    xq = pack_nhwc(x.astype(_BF), pad_c=64 - cin)
+    x1q = _double_conv_packed(xq, p["inc"], s["inc"], 64, wq1,
+                              interpret=interpret)
+
+    # down1: packed pool emits the C=128 layout; DoubleConv(128) @ half res
+    x2q = _double_conv_packed(
+        pool2x_packed(x1q, 64, "max", wq=wq1, interpret=interpret),
+        p["down1"]["conv"], s["down1"]["conv"], 128, wq1,
+        interpret=interpret)
+    x2 = unpack_nhwc(x2q, 128, w // 2)
+
+    # down2..down4 + up1 + up2 (XLA at <= quarter res)
+    def dc_xla(t, pp, ss):
+        t = relu(_bn_eval(_conv_eval(t, pp["conv0"]["Conv_0"]),
+                          pp["bn0"], ss["bn0"]))
+        return relu(_bn_eval(_conv_eval(t, pp["conv1"]["Conv_0"]),
+                             pp["bn1"], ss["bn1"]))
+
+    x3 = dc_xla(_maxpool(x2), p["down2"]["conv"], s["down2"]["conv"])
+    x4 = dc_xla(_maxpool(x3), p["down3"]["conv"], s["down3"]["conv"])
+    x5 = dc_xla(_maxpool(x4), p["down4"]["conv"], s["down4"]["conv"])
+
+    def up_xla(t, skip, pp, ss):
+        t = upsample_bilinear_align_corners(t.astype(_BF), 2,
+                                            out_hw=skip.shape[1:3])
+        return dc_xla(jnp.concatenate([skip, t], -1), pp["conv"],
+                      ss["conv"])
+
+    u = up_xla(x5, x4, p["up1"], s["up1"])
+    u = up_xla(u, x3, p["up2"], s["up2"])
+
+    # up3 (@ half res, packed): concat [x2 (128), upsampled u (128)]
+    u_half = upsample_bilinear_align_corners(
+        u.astype(_BF), 2, out_hw=(h // 2, w // 2))
+    u3q = _split_dc_packed(x2q, pack_nhwc(u_half), p["up3"]["conv"],
+                           s["up3"]["conv"], 128, 128, wq1,
+                           interpret=interpret)
+
+    # up4 (@ full res, packed): concat [x1 (64), upsampled up3-real (64)]
+    u_full = upsample_bilinear_align_corners(
+        unpack_nhwc(u3q, 128, w // 2)[..., :64], 2, out_hw=(h, w))
+    u4q = _split_dc_packed(x1q, pack_nhwc(u_full), p["up4"]["conv"],
+                           s["up4"]["conv"], 64, 64, wq1,
+                           interpret=interpret)
+
+    outq = _conv1x1_packed(u4q, p["outc"]["Conv_0"], 64, wq1,
+                           interpret=interpret)
+    return unpack_nhwc(outq, 64, w)[..., :n_classes].astype(jnp.float32)
+
+
+def unet_sp_serve(variables, x, n_classes=1, interpret=False):
+    """UNetSP (denoiser) packed serving; matches UNetSP.apply(train=False)
+    at bf16 tolerance."""
+    return unet_sp_backbone_serve(variables, x, n_classes,
+                                  interpret=interpret)
+
+
+def fusionnet_sp_serve(variables, x1, x2, n_classes=1, interpret=False):
+    """FusionNetSP packed serving: inputs added first (networks.py:295)."""
+    return unet_sp_backbone_serve(variables, x1 + x2, n_classes,
+                                  interpret=interpret)

@@ -85,3 +85,45 @@ def test_ifnet_serve_matches_flax():
     # produce order-one normalized error.
     nrmse = float(np.sqrt(np.mean((got - want) ** 2)) / (want.std() + 1e-6))
     assert nrmse < 0.05, f"NRMSE {nrmse:.4f}"
+
+
+def test_unet_sp_serve_matches_flax():
+    from sstem_tpu.models import UNetSP
+    from sstem_tpu.models.serving import unet_sp_serve
+
+    model = UNetSP(1)
+    shape = (1, 32, 64, 1)
+    variables = _init(model, shape)
+    x = jnp.asarray(RNG.random(shape), jnp.float32)
+    want = model.apply(variables, x, train=False)
+    got = unet_sp_serve(variables, x, interpret=True)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=0.05, rtol=0.1)
+
+
+def test_fusionnet_sp_serve_matches_flax():
+    from sstem_tpu.models import FusionNetSP
+    from sstem_tpu.models.serving import fusionnet_sp_serve
+
+    model = FusionNetSP(1)
+    shape = (1, 32, 64, 1)
+    key = jax.random.PRNGKey(4)
+    x0 = jnp.zeros(shape, jnp.float32)
+    variables = jax.jit(
+        lambda k, a, b: model.init(k, a, b, train=True))(key, x0, x0)
+    for i in range(2):
+        a = jnp.asarray(RNG.random(shape), jnp.float32)
+        b = jnp.asarray(RNG.random(shape), jnp.float32)
+        _, mut = model.apply(variables, a, b, train=True,
+                             mutable=["batch_stats"])
+        variables = {"params": variables["params"], **mut}
+    a = jnp.asarray(RNG.random(shape), jnp.float32)
+    b = jnp.asarray(RNG.random(shape), jnp.float32)
+    want = model.apply(variables, a, b, train=False)
+    got = fusionnet_sp_serve(variables, a, b, interpret=True)
+    assert got.shape == want.shape
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(want, np.float32),
+        atol=0.05, rtol=0.1)

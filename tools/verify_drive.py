@@ -48,6 +48,32 @@ def main():
             if frac > 1e-3:
                 bad += 1
 
+    # SP pipeline: packed serving vs flax path on TPU
+    from sstem_tpu.infer.pipeline import SPPipeline
+    from sstem_tpu.models import FusionNetSP, UNetSP
+
+    x1 = jnp.zeros((1, 64, 64, 1), jnp.float32)
+    vv = jax.jit(IFNet(51, 2).init)(key, x6)
+    dv = jax.jit(lambda k, x: UNetSP(1).init(k, x, train=True))(key, x1)
+    fvsp = jax.jit(lambda k, a, b: FusionNetSP(1).init(
+        k, a, b, train=True))(key, x1, x1)
+    imgs = {k: stack[i] for k, i in
+            [("i1", 0), ("i4", 3), ("d2", 1), ("d3", 2)]}
+    masks = (np.ones((1, 251, 179)) * 255, np.ones((1, 251, 179)) * 255)
+    sp_out = {}
+    for pc in (True, False):
+        sp = SPPipeline(vfi_vars=vv, denoise_vars=dv, fusion_vars=fvsp,
+                        packed_conv=pc)
+        res = sp.restore(imgs["i1"][None], imgs["i4"][None],
+                         imgs["d2"][None], imgs["d3"][None], *masks)
+        sp_out[pc] = np.asarray(
+            jnp.floor(res["pred1"] * 255), np.int16)
+    d = np.abs(sp_out[True] - sp_out[False])
+    print(f"SP pred1 packed-vs-flax: max uint8 delta {d.max()} "
+          f"(frac>1: {(d > 1).mean():.2e})", flush=True)
+    if (d > 2).mean() > 1e-3:
+        bad += 1
+
     # one jitted train step on TPU (exercises BN train mode + sepconv VJP)
     import optax
     from sstem_tpu import losses
