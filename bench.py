@@ -91,16 +91,16 @@ def main():
     from sstem_tpu.models.serving import fusionnet_serve, unet_sff_serve
 
     def restore_stage(fv, uv, degraded, interp):
+        # 2-channel [deg, interp] inputs: replicated-gray channels fold
+        # into the first conv weights (models/serving.py, exact)
         x2 = jnp.concatenate(
-            [jnp.repeat(_to01(degraded)[..., None], 3, -1),
-             jnp.repeat(pad_to_multiple(interp[..., None], 32)[0], 3, -1)],
-            axis=-1)
-        # pixel-packed Pallas conv serving (models/serving.py)
+            [_to01(degraded)[..., None],
+             pad_to_multiple(interp[..., None], 32)[0]], axis=-1)
         flow = fusionnet_serve(fv, x2).astype(jnp.float32)
-        warped = jnp.repeat(spatial_transform(x2[..., 0:1], flow), 3, -1)
-        fused_in = jnp.concatenate([warped, x2[..., 3:6]], axis=-1)
-        pred = unet_sff_serve(uv, fused_in)
-        return pred.astype(jnp.float32), warped
+        warped1 = spatial_transform(x2[..., 0:1], flow)
+        fused2 = jnp.concatenate([warped1, x2[..., 1:2]], axis=-1)
+        pred = unet_sff_serve(uv, fused2)
+        return pred.astype(jnp.float32), jnp.repeat(warped1, 3, -1)
 
     def section_restore(iv, fv, uv, prev_img, next_img, degraded):
         interp = interp_stage(iv, prev_img, next_img)

@@ -78,20 +78,25 @@ class SFFPipeline:
 
         def restore_fn(flow_v, fusion_v, inputs):
             if self.packed_conv:
-                flow = fusionnet_serve(flow_v, inputs, output_nc=2,
+                # replicated-gray channels fold into 2-channel inputs
+                # (serving.fold_gray_pair_conv — exact), skipping the
+                # 6-channel f32 glue tensors
+                x2 = inputs[..., 0::3]  # [deg, interp]
+                flow = fusionnet_serve(flow_v, x2, output_nc=2,
                                        ngf=self.ngf).astype(jnp.float32)
-            else:
-                flow = self.flow_model.apply(flow_v, inputs, train=False)
+                warped1 = spatial_transform(inputs[..., 0:1], flow)
+                fused2 = jnp.concatenate([warped1, inputs[..., 3:4]], -1)
+                pred = unet_sff_serve(fusion_v, fused2,
+                                      out_channel=1).astype(jnp.float32)
+                warped = jnp.repeat(warped1, 3, axis=-1)
+                return pred, flow, warped
+            flow = self.flow_model.apply(flow_v, inputs, train=False)
             # the degraded channels are gray replicated x3 — warp once
             warped1 = spatial_transform(inputs[..., 0:1], flow)
             warped = jnp.repeat(warped1, 3, axis=-1)
             fused_in = jnp.concatenate([warped, inputs[..., 3:6]], axis=-1)
-            if self.packed_conv:
-                pred = unet_sff_serve(fusion_v, fused_in,
-                                      out_channel=1).astype(jnp.float32)
-            else:
-                pred = self.fusion_model.apply(fusion_v, fused_in,
-                                               train=False)
+            pred = self.fusion_model.apply(fusion_v, fused_in,
+                                           train=False)
             return pred, flow, warped
 
         def section_fn(iv, fv, uv, x3):

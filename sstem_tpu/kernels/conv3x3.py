@@ -105,41 +105,59 @@ def unpack_nhwc(xq, c: int, w: int, drop_c: int = 0):
 
 
 def _kernel_res(ty: int, n_row_tiles: int, wq: int, act: str,
-                res_pre: bool,
+                res_pre: bool, pipelined: bool,
                 x_hbm, r_ref, sc_ref, sh_ref, res_ref, out_ref, buf, sem):
     """Variant with a fused residual input (same packed layout): added to
     the accumulator before (res_pre) or after the affine, before the
     activation."""
-    _kernel_body(ty, n_row_tiles, wq, act, x_hbm, r_ref, sc_ref, sh_ref,
-                 out_ref, buf, sem, res_ref=res_ref, res_pre=res_pre)
+    _kernel_body(ty, n_row_tiles, wq, act, pipelined, x_hbm, r_ref, sc_ref,
+                 sh_ref, out_ref, buf, sem, res_ref=res_ref,
+                 res_pre=res_pre)
 
 
-def _kernel(ty: int, n_row_tiles: int, wq: int, act: str,
+def _kernel(ty: int, n_row_tiles: int, wq: int, act: str, pipelined: bool,
             x_hbm, r_ref, sc_ref, sh_ref, out_ref, buf, sem):
-    _kernel_body(ty, n_row_tiles, wq, act, x_hbm, r_ref, sc_ref, sh_ref,
-                 out_ref, buf, sem)
+    _kernel_body(ty, n_row_tiles, wq, act, pipelined, x_hbm, r_ref, sc_ref,
+                 sh_ref, out_ref, buf, sem)
 
 
-def _kernel_body(ty, n_row_tiles, wq, act,
+def _kernel_body(ty, n_row_tiles, wq, act, pipelined,
                  x_hbm, r_ref, sc_ref, sh_ref, out_ref, buf, sem,
                  res_ref=None, res_pre=False):
     n = pl.program_id(0)
     t = pl.program_id(1)
-    rows = buf.shape[0]          # ty + 2
-    wq2 = buf.shape[1]
+    rows = buf.shape[1]          # ty + 2
+    wq2 = buf.shape[2]
     h = n_row_tiles * ty
 
     # clamped halo window: edge tiles shift by exactly one row, realigned
     # below with leading-dim concats (bf16 pltpu.roll is unsupported)
-    start = t * ty - 1
-    start = jnp.maximum(start, 0)
-    start = jnp.minimum(start, h - rows)
-    dma = pltpu.make_async_copy(
-        x_hbm.at[n, pl.ds(start, rows)], buf, sem)
-    dma.start()
-    dma.wait()
+    def dma_for(slot, tt):
+        start = tt * ty - 1
+        start = jnp.maximum(start, 0)
+        start = jnp.minimum(start, h - rows)
+        return pltpu.make_async_copy(
+            x_hbm.at[n, pl.ds(start, rows)], buf.at[slot], sem.at[slot])
 
-    win = buf[...]
+    if pipelined:
+        # double-buffered input stream: tile t+1's rows are in flight
+        # while tile t computes (the first tile of each image starts its
+        # own copy)
+        @pl.when(t == 0)
+        def _first():
+            dma_for(0, 0).start()
+
+        @pl.when(t + 1 < n_row_tiles)
+        def _prefetch():
+            dma_for((t + 1) % 2, t + 1).start()
+
+        dma_for(t % 2, t).wait()
+        win = buf[t % 2]
+    else:
+        d = dma_for(0, t)
+        d.start()
+        d.wait()
+        win = buf[0]
     zrow = jnp.zeros_like(win[0:1])
     top = jnp.concatenate([zrow, win[: rows - 1]], 0)
     bottom = jnp.concatenate([win[1:], zrow], 0)
@@ -209,14 +227,17 @@ def conv3x3_packed(xq, r, scale, shift, act=None, *, wq, residual=None,
         pl.BlockSpec((1, _LANES), lambda i, t: (0, 0)),
     ]
     args = [xq, r, scale[None], shift[None]]
+    pipelined = not interpret
     if residual is not None:
         in_specs.append(
             pl.BlockSpec((1, ty, wq2, _LANES), lambda i, t: (i, t, 0, 0)))
         args.append(residual)
         kern = functools.partial(_kernel_res, ty, n_row_tiles, wq,
-                                 act or "none", residual_pre_affine)
+                                 act or "none", residual_pre_affine,
+                                 pipelined)
     else:
-        kern = functools.partial(_kernel, ty, n_row_tiles, wq, act or "none")
+        kern = functools.partial(_kernel, ty, n_row_tiles, wq,
+                                 act or "none", pipelined)
     return pl.pallas_call(
         kern,
         grid=(n, n_row_tiles),
@@ -225,8 +246,8 @@ def conv3x3_packed(xq, r, scale, shift, act=None, *, wq, residual=None,
                                lambda i, t: (i, t, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((n, h, wq2, _LANES), xq.dtype),
         scratch_shapes=[
-            pltpu.VMEM((ty + 2, wq2, _LANES), xq.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, ty + 2, wq2, _LANES), xq.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * n * h * wq2 * _LANES * _LANES * 9,

@@ -61,6 +61,7 @@ def build_packed_deconv_weights(w, c_in: int):
 
 
 def _kernel(n_in_rows: int, wq: int, act: str, res_mode: str,
+            pipelined: bool,
             x_hbm, r_ref, sc_ref, sh_ref, *rest):
     if res_mode != "none":
         res_ref, out_ref, buf, sem = rest
@@ -69,15 +70,31 @@ def _kernel(n_in_rows: int, wq: int, act: str, res_mode: str,
         res_ref = None
     t = pl.program_id(1)
     n = pl.program_id(0)
-    wq2 = buf.shape[1]
-    rows = buf.shape[0]  # 5 = 4 in rows + 1 bottom tap row
+    wq2 = buf.shape[2]
+    rows = buf.shape[1]  # 5 = 4 in rows + 1 bottom tap row
+    n_tiles = pl.num_programs(1)
 
-    start = jnp.minimum(4 * t, n_in_rows - rows)
-    dma = pltpu.make_async_copy(x_hbm.at[n, pl.ds(start, rows)], buf, sem)
-    dma.start()
-    dma.wait()
+    def dma_for(slot, tt):
+        start = jnp.minimum(4 * tt, n_in_rows - rows)
+        return pltpu.make_async_copy(
+            x_hbm.at[n, pl.ds(start, rows)], buf.at[slot], sem.at[slot])
 
-    win = buf[...]
+    if pipelined:
+        @pl.when(t == 0)
+        def _first():
+            dma_for(0, 0).start()
+
+        @pl.when(t + 1 < n_tiles)
+        def _prefetch():
+            dma_for((t + 1) % 2, t + 1).start()
+
+        dma_for(t % 2, t).wait()
+        win = buf[t % 2]
+    else:
+        d = dma_for(0, t)
+        d.start()
+        d.wait()
+        win = buf[0]
     # bottom tile: the clamped window sits one row high; realign and feed
     # zeros to the out-of-range x[i+1] taps of the final output row
     zrow = jnp.zeros_like(win[0:1])
@@ -157,15 +174,16 @@ def deconv2x_packed(xq, r, scale, shift, act=None, *, wq, residual=None,
             pl.BlockSpec((1, 8, wq2, _LANES), lambda i, t: (i, t, 0, 0)))
         args.append(residual)
     return pl.pallas_call(
-        functools.partial(_kernel, h, wq, act or "none", mode),
+        functools.partial(_kernel, h, wq, act or "none", mode,
+                          not interpret),
         grid=grid,
         in_specs=in_specs,
         out_specs=pl.BlockSpec((1, 8, wq2, _LANES),
                                lambda i, t: (i, t, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((n, 2 * h, wq2, _LANES), xq.dtype),
         scratch_shapes=[
-            pltpu.VMEM((5, wq2, _LANES), xq.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, 5, wq2, _LANES), xq.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(*args)

@@ -43,18 +43,37 @@ def _selection(c_in: int, phase: int):
     return s
 
 
-def _kernel(wq: int, mode: str, x_hbm, s0_ref, s1_ref, out_ref, buf, sem):
+def _kernel(wq: int, mode: str, pipelined: bool,
+            x_hbm, s0_ref, s1_ref, out_ref, buf, sem):
     n = pl.program_id(0)
     t = pl.program_id(1)
     ty = out_ref.shape[1]
-    wq2 = buf.shape[1]
+    wq2 = buf.shape[2]
+    n_tiles = pl.num_programs(1)
 
-    dma = pltpu.make_async_copy(
-        x_hbm.at[n, pl.ds(t * 2 * ty, 2 * ty)], buf, sem)
-    dma.start()
-    dma.wait()
+    def dma_for(slot, tt):
+        return pltpu.make_async_copy(
+            x_hbm.at[n, pl.ds(tt * 2 * ty, 2 * ty)], buf.at[slot],
+            sem.at[slot])
 
-    win = buf[...].reshape(ty, 2, wq2, _LANES)
+    if pipelined:
+        @pl.when(t == 0)
+        def _first():
+            dma_for(0, 0).start()
+
+        @pl.when(t + 1 < n_tiles)
+        def _prefetch():
+            dma_for((t + 1) % 2, t + 1).start()
+
+        dma_for(t % 2, t).wait()
+        raw = buf[t % 2]
+    else:
+        d = dma_for(0, t)
+        d.start()
+        d.wait()
+        raw = buf[0]
+
+    win = raw.reshape(ty, 2, wq2, _LANES)
     m = ty * wq2
 
     def extract(rows, s_ref):
@@ -95,7 +114,7 @@ def pool2x_packed(xq, c_in: int, mode="max", *, wq, interpret=False):
     s1 = jnp.asarray(_selection(c_in, 1), jnp.bfloat16)
 
     def kern(x_hbm, s0r, s1r, out_ref, buf, sem):
-        _kernel(wq, mode, x_hbm, s0r, s1r, out_ref, buf, sem)
+        _kernel(wq, mode, not interpret, x_hbm, s0r, s1r, out_ref, buf, sem)
 
     ty = 8
     return pl.pallas_call(
@@ -110,8 +129,8 @@ def pool2x_packed(xq, c_in: int, mode="max", *, wq, interpret=False):
                                lambda i, t: (i, t, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((n, h // 2, wq2, _LANES), xq.dtype),
         scratch_shapes=[
-            pltpu.VMEM((2 * ty, wq2, _LANES), xq.dtype),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, 2 * ty, wq2, _LANES), xq.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
     )(xq, s0, s1)

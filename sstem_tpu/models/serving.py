@@ -169,6 +169,9 @@ def fusionnet_serve(variables, x, output_nc=2, ngf=32, interpret=False):
     p = variables["params"]
     s = variables["batch_stats"]
     n, h, w, _ = x.shape
+    if x.shape[-1] == 2:  # replicated-gray pair input (exact fold)
+        p = _with_folded_first_conv(
+            p, ("down_1", "conv_1", "conv", "Conv_0"))
     wq1, wq2x = w // 4, (w // 2) // 2  # quads at L1 (P=4), L2 (P=2)
 
     from sstem_tpu.kernels.pool import pool2x_packed
@@ -267,6 +270,8 @@ def unet_sff_serve(variables, x, out_channel=1, interpret=False):
     p = variables["params"]
     s = variables["batch_stats"]
     n, h, w, _ = x.shape
+    if x.shape[-1] == 2:  # replicated-gray pair input (exact fold)
+        p = _with_folded_first_conv(p, ("conv_encode1", "conv0", "Conv_0"))
     wq1, wq2x = w // 4, (w // 2) // 2
     relu = lambda t: jnp.maximum(t, 0).astype(t.dtype)
 
@@ -579,3 +584,32 @@ def fusionnet_sp_serve(variables, x1, x2, n_classes=1, interpret=False):
     """FusionNetSP packed serving: inputs added first (networks.py:295)."""
     return unet_sp_backbone_serve(variables, x1 + x2, n_classes,
                                   interpret=interpret)
+
+
+# ---------------------------------------------------------------------------
+# replicated-gray input folding
+# ---------------------------------------------------------------------------
+
+def fold_gray_pair_conv(conv_p):
+    """Fold a 6-channel first conv into 2 channels for replicated-gray
+    inputs: the pipelines always feed [gray x3, other x3]
+    (data_provider.py:132-141), so conv(w6, x6) == conv(w2, x2) with
+    w2[..., 0, :] = sum(w6[..., 0:3, :]) and likewise for 3:6 — exact."""
+    w = conv_p["kernel"]
+    assert w.shape[2] == 6
+    w2 = jnp.stack([w[:, :, 0:3].sum(2), w[:, :, 3:6].sum(2)], axis=2)
+    return {"kernel": w2, "bias": conv_p["bias"]}
+
+
+def _with_folded_first_conv(p, path):
+    """Shallow-copy the param tree with conv at ``path`` pair-folded."""
+    node = p
+    copies = []
+    for key in path[:-1]:
+        copies.append((node, key))
+        node = node[key]
+    folded = fold_gray_pair_conv(node[path[-1]])
+    new = {**node, path[-1]: folded}
+    for parent, key in reversed(copies):
+        new = {**parent, key: new}
+    return new

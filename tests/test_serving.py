@@ -127,3 +127,22 @@ def test_fusionnet_sp_serve_matches_flax():
     np.testing.assert_allclose(
         np.asarray(got, np.float32), np.asarray(want, np.float32),
         atol=0.05, rtol=0.1)
+
+
+def test_gray_pair_fold_exact():
+    """2-channel [gray, other] input == 6-channel replicated input."""
+    from sstem_tpu.models.serving import unet_sff_serve
+
+    model = UNetSFF(out_channel=1)
+    shape = (1, 32, 64, 6)
+    variables = _init(model, shape)
+    g = RNG.random((1, 32, 64, 1))
+    o = RNG.random((1, 32, 64, 1))
+    x6 = jnp.asarray(np.concatenate(
+        [np.repeat(g, 3, -1), np.repeat(o, 3, -1)], -1), jnp.float32)
+    x2 = jnp.asarray(np.concatenate([g, o], -1), jnp.float32)
+    y6 = unet_sff_serve(variables, x6, interpret=True)
+    y2 = unet_sff_serve(variables, x2, interpret=True)
+    np.testing.assert_allclose(np.asarray(y2, np.float32),
+                               np.asarray(y6, np.float32),
+                               atol=0.02, rtol=0.05)
