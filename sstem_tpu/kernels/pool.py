@@ -10,10 +10,9 @@ maintained).
 
 Lane moves are exact 0/1 selection matmuls (each output lane sums exactly
 one input lane), so max pooling is exact: max of the four extracted
-tensors. Average pooling folds the 0.25 into the selection weights.
+tensors. Average pooling sums the four extractions in f32 and scales by
+0.25.
 """
-
-import functools
 
 import numpy as np
 
