@@ -55,11 +55,23 @@ def run_training(*, provider, train_step, state, total_iters,
     iters = start_iter
     sum_loss = 0.0
     sum_time = 0.0
+    # in-flight throttle: without it the host enqueues steps far faster
+    # than the device retires them (the loop only syncs at display
+    # boundaries) and the dispatch queue pins every pending batch — on the
+    # tunneled runtime that grows host memory without bound (observed
+    # OOM-kill after ~3k steps). Blocking on the step from 8 iterations
+    # ago keeps the pipeline full at bounded memory.
+    from collections import deque
+
+    inflight = deque()
     while iters < total_iters:
         iters += 1
         t1 = time.time()
         batch = provider.next()
         state, metrics = train_step(state, batch)
+        inflight.append(metrics["loss"])
+        if len(inflight) > 8:
+            inflight.popleft().block_until_ready()
         if iters % display_freq == 0 or iters == 1:
             loss = float(metrics["loss"])  # device sync at display boundary
             sum_loss += loss
