@@ -389,15 +389,15 @@ def ifnet_serve(variables, x, kernel_size=51, n_frames=1, assume_gray=True,
     i2 = x[..., 3:6]
     wq1, wq2x = w // 4, (w // 2) // 2
 
-    # ---- contraction ----
+    from sstem_tpu.kernels.pool import pool2x_packed
+
+    # ---- contraction (packed through the half-res level; the packed avg
+    # pool emits the C=64 layout the conv64 module consumes) ----
     xq = pack_nhwc(x.astype(_BF), pad_c=32 - x.shape[-1])
     x32q = _conv_module_packed(xq, p["conv32"], 32, wq1, interpret=interpret)
-    x32 = unpack_nhwc(x32q, 32, w)
-    xp1 = lax.reduce_window(
-        x32.astype(jnp.float32), 0.0, lax.add, (1, 2, 2, 1), (1, 2, 2, 1),
-        "VALID") * 0.25
-    x64q = _conv_module_packed(pack_nhwc(xp1.astype(_BF), pad_c=32),
-                               p["conv64"], 64, wq2x, interpret=interpret)
+    p1q = pool2x_packed(x32q, 32, "avg", wq=wq1, interpret=interpret)
+    x64q = _conv_module_packed(p1q, p["conv64"], 64, wq2x,
+                               interpret=interpret)
     x64 = unpack_nhwc(x64q, 64, w // 2)
 
     def avg_pool(t):
