@@ -166,7 +166,9 @@ def _kernel_body(ty, n_row_tiles, wq, act, pipelined,
 
     m = ty * wq2
     acc = jnp.zeros((m, _LANES), jnp.float32)
-    winf = win.astype(jnp.float32)  # pltpu.roll handles 32-bit data only
+    # pltpu.roll handles 32-bit data only (and bitcast pairs SUBLANES for
+    # bf16, so an i32 ride-along rolls quad pairs — wrong); stage f32
+    winf = win.astype(jnp.float32)
     for o in (-1, 0, 1):
         if o == 0:
             shifted = win
