@@ -82,13 +82,14 @@ def main():
     from sstem_tpu.infer.tiles import pad_to_multiple
     from sstem_tpu.ops import spatial_transform
 
+    from sstem_tpu.models.serving import (
+        fusionnet_serve, ifnet_serve, unet_sff_serve)
+
     def interp_stage(iv, prev_img, next_img):
         x = _gray6(_to01(prev_img), _to01(next_img))
         x, _ = pad_to_multiple(x, 32)
-        interp = interp_model.apply(iv, x)[..., 0].astype(jnp.float32)
+        interp = ifnet_serve(iv, x)[..., 0].astype(jnp.float32)
         return jnp.clip(interp, 0.0, 1.0)
-
-    from sstem_tpu.models.serving import fusionnet_serve, unet_sff_serve
 
     def restore_stage(fv, uv, degraded, interp):
         # 2-channel [deg, interp] inputs: replicated-gray channels fold
@@ -143,7 +144,9 @@ def main():
         for _ in range(3)
     )
 
-    # stage attribution (published so vs_baseline is auditable per stage)
+    # stage attribution (published so vs_baseline is auditable per stage):
+    # same discipline as the headline — warm past the post-compile slow
+    # path, then best-of-3 over 6-rep batches
     def stage_ms(f, *args):
         # sync via a device-sum readback: block_until_ready acks early on
         # the tunneled runtime and under-reports
@@ -152,9 +155,12 @@ def main():
                 [jnp.sum(o[0].astype(jnp.float32)) if isinstance(o, tuple)
                  else jnp.sum(o.astype(jnp.float32)) for o in outs]).sum())
         sync([f(*args) for _ in range(12)])  # post-compile slow path
-        t0 = time.time()
-        sync([f(*args) for _ in range(6)])
-        return (time.time() - t0) / 6 / BATCH * 1e3
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            sync([f(*args) for _ in range(6)])
+            best = min(best, (time.time() - t0) / 6 / BATCH * 1e3)
+        return best
 
     prev = dev_stack[0:BATCH].astype(jnp.float32)
     nxt = dev_stack[2:BATCH + 2].astype(jnp.float32)
@@ -163,12 +169,30 @@ def main():
     restore_stage_jit = jax.jit(
         lambda fv, uv, d, i: restore_stage(fv, uv, d, i)[0])
     interp_out = interp_jit(interp_vars, prev, nxt)[:, :SECTION, :SECTION]
-    stages = {
-        "interp_ifnet_sepconv": round(stage_ms(
-            interp_jit, interp_vars, prev, nxt), 1),
-        "flow_warp_fusion": round(stage_ms(
-            restore_stage_jit, flow_vars, fusion_vars, deg, interp_out), 1),
-    }
+
+    def measure_stages():
+        return {
+            "interp_ifnet_sepconv": round(stage_ms(
+                interp_jit, interp_vars, prev, nxt), 1),
+            "flow_warp_fusion": round(stage_ms(
+                restore_stage_jit, flow_vars, fusion_vars, deg,
+                interp_out), 1),
+        }
+
+    # consistency gate (VERDICT r2 item 2): the stage table must add up to
+    # the headline ms/section (within tolerance — separately-jitted stages
+    # lose cross-stage fusion and include the batch-padding row overhead).
+    headline_ms = dt / len(DAMAGED) * 1e3
+    for _ in range(4):
+        stages = measure_stages()
+        ratio = sum(stages.values()) / headline_ms
+        if 0.75 <= ratio <= 1.35:
+            break
+    else:
+        raise SystemExit(
+            f"bench stage table inconsistent with headline: "
+            f"sum={sum(stages.values()):.1f} ms vs headline "
+            f"{headline_ms:.1f} ms/section after 4 attempts")
 
     # hardware parity gate (TPU_CHECKS.json; VERDICT r1 item 3)
     try:
@@ -186,7 +210,9 @@ def main():
         "value": round(mps, 3),
         "unit": "MP/s/chip",
         "vs_baseline": round(mps / REFERENCE_GPU_MPS, 3),
+        "ms_per_section": round(headline_ms, 1),
         "stage_ms_per_section": stages,
+        "stage_sum_vs_headline": round(ratio, 3),
         "config": {"batch": BATCH, "dtype": "bfloat16", "packed": True,
                    "packed_conv_serving": True},
         "tpu_checks": checks,

@@ -70,10 +70,13 @@ class SFFPipeline:
         self.fusion_model = UNetSFF(out_channel=1)
 
         def interp_fn(variables, x):
-            # note: ifnet_serve (packed trunk/head convs) measures ~6%
-            # SLOWER than the flax planar-packed path at 1280^2 — the
-            # pack/unpack and pooling round-trips outweigh the conv wins —
-            # so interp keeps the flax path (models/ifnet.py packed=True)
+            # packed-conv serving path (packed trunk/head convs + packed
+            # avg pool feeding conv64 its layout directly): ~4% faster
+            # than the flax planar-packed path at 1280^2
+            # (tools/ifnet_prefix_bench.py; PERFORMANCE.md)
+            if self.packed_conv:
+                return ifnet_serve(variables, x,
+                                   kernel_size=self.kernel_size, n_frames=1)
             return self.interp_model.apply(variables, x)
 
         def restore_fn(flow_v, fusion_v, inputs):
@@ -196,6 +199,11 @@ class SFFPipeline:
         """
         from sstem_tpu.parallel.spatial import spatial_apply
 
+        # cfg.TEST.pad is applied by restore_stack's interpolate/restore
+        # path; the sharded canvas path does not replicate it
+        assert self.pad == 0, (
+            "restore_stack_sharded does not support TEST.pad != 0; use "
+            "restore_stack")
         n_dp = mesh.shape[data_axis]
         n_sp = mesh.shape[space_axis]
         stack = np.asarray(stack)

@@ -221,6 +221,9 @@ def conv3x3_packed(xq, r, scale, shift, act=None, *, wq, residual=None,
     assert lanes == _LANES
     ty = 8 if wq2 <= 384 else 4
     assert h % ty == 0, f"H={h} must be a multiple of {ty}"
+    # single-row-tile inputs would clamp the halo DMA window out of bounds
+    # (start = h - rows < 0) and skip the bottom zero-row realignment
+    assert h >= 2 * ty, f"H={h} must be >= {2 * ty} (two row tiles)"
     n_row_tiles = h // ty
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.HBM),

@@ -42,10 +42,9 @@ def _bn_affine(bn_p, bn_s, eps=1e-5):
     return scale, shift
 
 
-def _packed_conv_args(conv_p, bn_p, bn_s, c, cin=None, cout=None):
-    """Fold conv weights/bias (+ optional BN) into kernel args at packing C.
-
-    cin/cout: real in/out channels when smaller than c (zero-padded)."""
+def _packed_conv_args(conv_p, bn_p, bn_s, c):
+    """Fold conv weights/bias (+ optional BN) into kernel args at packing C;
+    real in/out channels smaller than c are zero-padded."""
     w = conv_p["kernel"].astype(_BF)
     b = conv_p["bias"]
     kin, kout = w.shape[2], w.shape[3]
@@ -235,13 +234,6 @@ def _contract_packed(xq, p, s, c, wq, interpret=False):
                {"bn": s["bn1"]}, "relu", c, wq, interpret)
 
 
-def _rezero_borders(yq, wq):
-    """Re-establish the zero-quad border invariant after an XLA-side
-    affine with nonzero shift touched the pads."""
-    quad = jnp.arange(yq.shape[2])[None, None, :, None]
-    return jnp.where((quad == 0) | (quad > wq), jnp.zeros_like(yq), yq)
-
-
 def _split_concat_conv_packed(aq, bq, conv_p, bn_p, bn_s, c, ca, wq,
                               interpret=False):
     """conv(concat(a, b)) + BN + ReLU via weight split; a carries the first
@@ -346,7 +338,7 @@ def unet_sff_serve(variables, x, out_channel=1, interpret=False):
 # IFNet (SFF/SP kernel-prediction net)
 # ---------------------------------------------------------------------------
 
-def _conv_module_packed(xq, p, c, wq, cin=None, interpret=False):
+def _conv_module_packed(xq, p, c, wq, interpret=False):
     """IFNet _ConvModule (3x conv+relu, no BN) on the packed layout."""
     out = xq
     for name in ("conv0", "conv1", "conv2"):
