@@ -104,6 +104,80 @@ def scaled_center(mask, scale):
     return scaled_fill(mask, scale, thresh=40)
 
 
+def _outlined_scaled_patch(filled, scale, value):
+    """Resize the filled blob, re-extract its contours from the 127-threshold
+    binary, and draw their outlines back at ``value`` (the drawContours step
+    of scaled_contour.py:116-124)."""
+    scaled = cv2.resize(filled, None, fx=scale, fy=scale,
+                        interpolation=cv2.INTER_CUBIC)
+    _, binary = cv2.threshold(scaled, 127, 255, cv2.THRESH_BINARY)
+    contours, _ = cv2.findContours(binary, cv2.RETR_TREE,
+                                   cv2.CHAIN_APPROX_NONE)
+    cv2.drawContours(scaled, contours, -1, value)
+    return scaled
+
+
+def _centroid_anchored(base, patch, cx, cy, scale):
+    """Place ``patch`` so the scaled centroid lands on the original one;
+    ``None`` when the reference's shape check fails (scaled_contour.py:131)."""
+    out = np.zeros_like(base)
+    h, w = patch.shape[:2]
+    y0, x0 = cy - int(cy * scale), cx - int(cx * scale)
+    if out[max(y0, 0):y0 + h, max(x0, 0):x0 + w].shape != patch.shape:
+        return None
+    out[y0:y0 + h, x0:x0 + w] = patch
+    return out
+
+
+def _ring_outlined(mask, scale1, scale2, value, out_dtype):
+    """Shared body of the two outline-drawing multiscale ring variants
+    (scaled_contour.py:90-163 / :227-293). Reference quirks preserved:
+
+    * the initial contours come from the UNthresholded gray image (the
+      127-threshold binary is computed and then unused, :96-97);
+    * on a placement-shape mismatch the result is a zeros array of the
+      *scaled-patch* shape, not the input shape (:159-163);
+    * ``refine`` fills the largest contour with 0 on a zeros canvas, so its
+      filled blob (and therefore its output) is identically zero — the
+      function is faithfully dead (:242).
+    """
+    contours, _ = cv2.findContours(mask, cv2.RETR_TREE, cv2.CHAIN_APPROX_NONE)
+    if not contours:
+        return np.zeros_like(mask)
+    areas = [cv2.contourArea(c) for c in contours]
+    largest = contours[int(np.argmax(areas))]
+    filled = np.zeros_like(mask)
+    cv2.fillPoly(filled, [largest], value)
+    cx, cy = _centroid(largest)
+
+    # failure paths return raw zeros of the scaled-patch shape in the MASK's
+    # dtype (no float cast — reference :159-163)
+    patch1 = _outlined_scaled_patch(filled, scale1, value)
+    outer = _centroid_anchored(mask, patch1, cx, cy, scale1)
+    if outer is None:
+        return np.zeros_like(patch1)
+    patch2 = _outlined_scaled_patch(filled, scale2, value)
+    inner = _centroid_anchored(mask, patch2, cx, cy, scale2)
+    if inner is None:
+        return np.zeros_like(patch2)
+    ring = (outer / 255.0) * ((255.0 - inner) / 255.0) * 255.0
+    return ring.astype(out_dtype)
+
+
+def scaled_ring_outlined(mask, scale1, scale2):
+    """scaled_contour_multiscale (scaled_contour.py:90-163): like
+    ``scaled_ring`` but each scaled patch gets its re-extracted contour
+    outlines drawn back at 255 before compositing; returns float64."""
+    return _ring_outlined(mask, scale1, scale2, 255, np.float64)
+
+
+def refine_ring_outlined(mask, scale1, scale2):
+    """refine_contour_multiscale (scaled_contour.py:227-293): the inverted
+    variant that fills and outlines with 0 — identically zero for any input
+    by construction (see _ring_outlined quirk notes); returns uint8."""
+    return _ring_outlined(mask, scale1, scale2, 0, np.uint8)
+
+
 def area_scales(area):
     """Ring-count schedule by blob area (fill_contours.AreaScales_unified,
     fill_contours.py:19-30): bigger blobs get more concentric rings."""

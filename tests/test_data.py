@@ -234,3 +234,58 @@ def test_device_degradation_distributional_parity():
     # same order of magnitude of fold coverage and displacement
     assert 0.2 < np.mean(dev_zero) / max(np.mean(host_zero), 1e-6) < 5.0
     assert 0.2 < np.mean(dev_mag) / max(np.mean(host_mag), 1e-6) < 5.0
+
+
+def _import_ref_scaled_contour():
+    """Import the reference's simu_sp/scaled_contour.py as a module."""
+    import importlib.util
+    import sys
+    import types
+
+    # the module imports skimage.io / PIL at top level but the functions
+    # under test never use them; stub whatever is absent from this image
+    for name, sub in (("skimage", "io"), ("PIL", "Image")):
+        if name not in sys.modules:
+            try:
+                __import__(name)
+            except ImportError:
+                pkg = types.ModuleType(name)
+                setattr(pkg, sub, types.ModuleType(f"{name}.{sub}"))
+                sys.modules[name] = pkg
+                sys.modules[f"{name}.{sub}"] = getattr(pkg, sub)
+
+    path = "/root/reference/simu_sp/scaled_contour.py"
+    spec = importlib.util.spec_from_file_location("ref_scaled_contour", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_scaled_ring_variants_match_reference():
+    """The three multiscale ring variants are bit-exact vs the live reference
+    functions (simu_sp/scaled_contour.py:90-293), including the dead
+    refine variant's identically-zero output."""
+    from sstem_tpu.data.sim_sp import (
+        refine_ring_outlined, scaled_ring, scaled_ring_outlined)
+
+    ref = _import_ref_scaled_contour()
+    for seed in (0, 3, 11):
+        mask = synth_blob_mask(256, 256, seed=seed, n_blobs=2)
+        # sub-unit scales exercise the float success path; >1 scales the
+        # uint8 shape-check failure path (both reference behaviors)
+        for s1, s2 in ((0.95, 0.8), (0.9, 0.5), (0.7, 0.3), (1.3, 0.7)):
+            got = scaled_ring_outlined(mask, s1, s2)
+            want = ref.scaled_contour_multiscale(mask, s1, s2)
+            assert got.dtype == want.dtype and got.shape == want.shape
+            np.testing.assert_array_equal(got, want)
+
+            got_r = refine_ring_outlined(mask, s1, s2)
+            want_r = ref.refine_contour_multiscale(mask, s1, s2)
+            assert got_r.dtype == want_r.dtype
+            np.testing.assert_array_equal(got_r, want_r)
+            assert not got_r.any()  # faithfully dead: always zero
+
+            got_s = scaled_ring(mask, s1, s2)
+            want_s = ref.scaled_contour_multiscale_simplify(mask, s1, s2)
+            if isinstance(want_s, np.ndarray) and want_s.shape == got_s.shape:
+                np.testing.assert_allclose(got_s, want_s)
