@@ -64,6 +64,22 @@ SEED_IMAGES, SEED_EVAL, SEED_DEGRADE = 21, 99, 13
 SEED_I, SEED_U, SEED_F = 10_000, 20_000, 30_000
 
 
+def apply_seed_offset(off):
+    """Shift the TRAINING seeds (init + batch streams) while keeping the
+    training-image pool and the eval stack fixed. Used for the run-to-run
+    noise control: two torch runs differing only by this offset measure how
+    much 2500-iter outcomes vary under a tiny perturbation, which calibrates
+    the cross-implementation deltas in H2H.md."""
+    global SEED_I, SEED_U, SEED_F, INIT_SEEDS
+    SEED_I += off
+    SEED_U += off
+    SEED_F += off
+    INIT_SEEDS = tuple(s + off for s in INIT_SEEDS)
+
+
+INIT_SEEDS = (7, 11, 17)
+
+
 def lr_at(t, iters):
     """main_ms.py:127-135 (decay_iters = total_iters)."""
     if t < WARMUP:
@@ -215,12 +231,12 @@ def stage_prep(root):
 
     mods = _torch_setup()
     os.makedirs(root, exist_ok=True)
-    torch.manual_seed(7)
+    torch.manual_seed(INIT_SEEDS[0])
     ifnet = mods["model_interp"].IFNet(kernel_size=K)
-    torch.manual_seed(11)
+    torch.manual_seed(INIT_SEEDS[1])
     flownet = mods["model_fusionnet"].FusionNet(
         input_nc=6, output_nc=2, ngf=32)
-    torch.manual_seed(17)
+    torch.manual_seed(INIT_SEEDS[2])
     unet = mods["model_unet"].UNet(6, 1)
     torch.save(ifnet.state_dict(), os.path.join(root, "init_ifnet.pt"))
     torch.save(flownet.state_dict(), os.path.join(root, "init_flownet.pt"))
@@ -668,7 +684,11 @@ def main():
                     choices=["prep", "torch", "jax", "report"])
     ap.add_argument("--iters", type=int, default=ITERS)
     ap.add_argument("--out", default="H2H.md")
+    ap.add_argument("--seed-offset", type=int, default=0,
+                    help="shift init + batch-stream seeds (noise control)")
     args = ap.parse_args()
+    if args.seed_offset:
+        apply_seed_offset(args.seed_offset)
     os.makedirs(args.root, exist_ok=True)
     if args.stage == "prep":
         stage_prep(args.root)
