@@ -83,6 +83,41 @@ def build(cfg, flow_vars, data_parallel=True):
     return unet, flow_model, opt, train_step, jax.jit(eval_fn), schedule, mesh
 
 
+def make_fusion_devgen_step(cfg, flow_vars, opt, mesh, flow_model, unet,
+                            det_size):
+    """Fusion train step with ON-DEVICE datagen: fold synthesis + warp of
+    the clean crop, the frozen-flow warp and the U-Net all inside one jit
+    (train/device_datagen.py pattern; replaces the reference's CPU-worker
+    degradation, sff_scripts_fusion/data/data_provider.py:163-185 — note
+    the fusion variant's narrower line_width 5..20)."""
+    from sstem_tpu.data.sim_sff import degrade_sff_batch_jax
+    from sstem_tpu.train.trainer import make_train_step
+
+    seed = int(cfg.TRAIN.random_seed or 0)
+
+    def loss_fn(params, batch_stats, batch):
+        clean, interp, step_idx = batch  # crops in 0..255 + step counter
+        step_key = jax.random.fold_in(
+            jax.random.PRNGKey(seed), step_idx.astype(jnp.int32))
+        degraded, _ = degrade_sff_batch_jax(
+            clean, step_key, det_size=det_size,
+            line_width_range=(5, 20))
+        off = (clean.shape[1] - det_size) // 2
+        sl = slice(off, off + det_size)
+        interp_c = interp[:, sl, sl].astype(jnp.float32)
+        inputs = jnp.concatenate(
+            [jnp.repeat((degraded / 255.0)[..., None], 3, -1),
+             jnp.repeat((interp_c / 255.0)[..., None], 3, -1)], axis=-1)
+        pred, mut = compose_forward(
+            flow_model, flow_vars, unet,
+            {"params": params, "batch_stats": batch_stats},
+            inputs, train=True, mutable=True)
+        target = (clean[:, sl, sl].astype(jnp.float32) / 255.0)[..., None]
+        return losses.l1_loss(pred, target), ({}, mut["batch_stats"])
+
+    return make_train_step(loss_fn, opt, has_batch_stats=True, mesh=mesh)
+
+
 def load_flow_variables(path):
     """Load flow-net variables from an orbax ckpt dir or a torch .ckpt file."""
     if os.path.isdir(path):
@@ -103,6 +138,10 @@ def main(argv=None):
     parser.add_argument("-m", "--mode", type=str, default="train")
     parser.add_argument("--config-dir", type=str, default="./config")
     parser.add_argument("--max-iters", type=int, default=None)
+    parser.add_argument("--device-datagen", action="store_true",
+                        help="run fold synthesis + the frozen-flow warp + "
+                             "labels inside the jitted train step (host "
+                             "streams raw crops only)")
     args = parser.parse_args(argv)
 
     cfg = load_sff_config(args.cfg, args.config_dir)
@@ -119,12 +158,35 @@ def main(argv=None):
         cfg, flow_vars
     )
 
-    ds = FusionTrainDataset(
-        cfg.DATA.folder_name, cfg.DATA.train_txt, cfg.DATA.interp_train_txt,
-        crop_size=cfg.DATA.patch_size[0],
-        det_size=cfg.DATA.get("det_size", 256),
-        gt_line=cfg.DATA.get("gt_line", False), aug=aug_from_cfg(cfg.DATA),
-    )
+    if args.device_datagen:
+        from sstem_tpu.data.providers import RawCropPairDataset
+
+        ds = RawCropPairDataset(
+            cfg.DATA.folder_name, cfg.DATA.train_txt,
+            cfg.DATA.interp_train_txt, crop_size=cfg.DATA.patch_size[0],
+            aug=aug_from_cfg(cfg.DATA),
+        )
+        raw_step = make_fusion_devgen_step(
+            cfg, flow_vars, opt, mesh, flow_model, unet,
+            det_size=cfg.DATA.get("det_size", 256))
+
+        class _StepCounter:
+            n = 0
+
+        def train_step(state, batch):  # noqa: F811 - datagen-in-step
+            clean, interp = batch
+            _StepCounter.n += 1
+            return raw_step(state, (clean, interp,
+                                    jnp.asarray(_StepCounter.n)))
+    else:
+        ds = FusionTrainDataset(
+            cfg.DATA.folder_name, cfg.DATA.train_txt,
+            cfg.DATA.interp_train_txt,
+            crop_size=cfg.DATA.patch_size[0],
+            det_size=cfg.DATA.get("det_size", 256),
+            gt_line=cfg.DATA.get("gt_line", False),
+            aug=aug_from_cfg(cfg.DATA),
+        )
     provider = Provider(ds, tr.batch_size, seed=tr.random_seed)
     valid_ds = None
     if tr.if_valid and cfg.DATA.get("valid_txt"):
@@ -177,7 +239,8 @@ def main(argv=None):
         save_path=paths["save_path"], valid_path=paths["valid_path"],
         display_freq=tr.display_freq, valid_freq=tr.valid_freq,
         save_freq=tr.save_freq, valid_fn=valid_fn,
-        preview_fn=preview_fn, writer=writer, logger=logger,
+        preview_fn=None if args.device_datagen else preview_fn,
+        writer=writer, logger=logger,
         start_iter=start_iter, schedule=schedule,
     )
     provider.close()

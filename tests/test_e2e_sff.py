@@ -188,3 +188,73 @@ def test_unfolding_trainer_device_datagen(tmp_path):
     models_dir = glob.glob(str(tmp_path / "models" / "*"))
     assert models_dir
     assert glob.glob(os.path.join(models_dir[-1], "model-*.ckpt"))
+
+
+def test_fusion_trainer_device_datagen(tmp_path):
+    """Fusion --device-datagen: fold synthesis + frozen-flow warp + labels
+    inside the jitted step (host streams raw crops)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sstem_tpu.cli import train_fusion
+    from sstem_tpu.models import FusionNet
+    from sstem_tpu.train.checkpoint import save_checkpoint
+
+    data = str(tmp_path / "data")
+    write_triplet_tree(data, n_triplets=2, size=160, seed=16)
+    with open(os.path.join(data, "train_data.txt")) as f:
+        rows = [r.split() for r in f.read().splitlines()]
+    with open(os.path.join(data, "interp_train_data.txt"), "w") as f:
+        f.write("\n".join(r[1] for r in rows) + "\n")
+
+    # frozen flow net checkpoint
+    flow_dir = str(tmp_path / "flow")
+    fv = jax.jit(lambda k, x: FusionNet(output_nc=2, ngf=4).init(
+        k, x, train=True))(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 64, 64, 6), jnp.float32))
+    save_checkpoint(flow_dir, 1, fv["params"],
+                    batch_stats=fv["batch_stats"])
+
+    cfg = {
+        "NAME": "fusion_dev",
+        "TRAIN": {
+            "resume": False, "if_valid": False,
+            "cache_path": str(tmp_path / "caches"),
+            "save_path": str(tmp_path / "models"),
+            "input_nc": 6, "output_nc": 1, "ngf": 4, "pad": 0,
+            "loss": "L1", "kernel_size": 5, "total_iters": 2,
+            "warmup_iters": 0, "base_lr": 1e-3, "end_lr": 1e-4,
+            "display_freq": 1, "valid_freq": 2, "save_freq": 2,
+            "decay_iters": 100, "weight_decay": None, "power": 1.5,
+            "batch_size": 2, "num_workers": 1, "is_cuda": False,
+            "random_seed": 556,
+            "flownet_path": flow_dir, "flownet_id": "model-000001.ckpt",
+        },
+        "DATA": {
+            "folder_name": data, "train_txt": "train_data.txt",
+            "interp_train_txt": "interp_train_data.txt",
+            "patch_size": [100, 100], "det_size": 64,
+            "AUG": {
+                "random_fliplr": True, "random_flipud": True,
+                "random_flipz": True, "random_rotation": True,
+                "swap": False, "color_jitter": False,
+                "COLOR": {"brightness": 0.2, "contrast": 0.2,
+                          "saturation": 0.2},
+                "elastic_trans": False,
+                "ELASTIC": {"alpha_range": 100, "sigma": 10, "shave": 20},
+                "gauss_noise": False,
+                "GAUSS": {"gauss_mean": 0, "gauss_sigma": 0.001},
+            },
+        },
+        "TEST": {"pad": 0},
+    }
+    import yaml as _yaml
+
+    cfg_path = str(tmp_path / "cfg.yaml")
+    with open(cfg_path, "w") as f:
+        _yaml.safe_dump(cfg, f)
+    train_fusion.main(["-c", cfg_path, "--max-iters", "2",
+                       "--device-datagen"])
+    models_dir = glob.glob(str(tmp_path / "models" / "*"))
+    assert models_dir
+    assert glob.glob(os.path.join(models_dir[-1], "model-*.ckpt"))

@@ -35,6 +35,11 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--root", default="/tmp/sstem_quality")
     parser.add_argument("--iters", type=int, default=1500)
+    parser.add_argument("--iters-unfold", type=int, default=None)
+    parser.add_argument("--iters-fusion", type=int, default=None)
+    parser.add_argument("--device-datagen", action="store_true",
+                        help="unfolding/fusion degradation inside the "
+                             "jitted step (TPU-rate long runs)")
     parser.add_argument("--triplets", type=int, default=120)
     parser.add_argument("--img-size", type=int, default=384)
     parser.add_argument("--patch", type=int, default=256)
@@ -129,30 +134,44 @@ def main():
 
     # 3) unfolding trainer (on-the-fly degradation)
     if "unfold_save" not in stage:
+        it_u = args.iters_unfold or args.iters
         cfg_u = write_cfg(
-            "q_unfold", {"output_nc": 2},
+            "q_unfold",
+            {"output_nc": 2, "total_iters": it_u, "decay_iters": it_u,
+             "valid_freq": it_u, "save_freq": it_u},
             {"patch_size": [args.img_size, args.img_size],
              "det_size": args.patch,
              "interp_train_txt": "interp_train_data.txt",
              "gt_line": False},
         )
-        train_unfolding.main(["-c", cfg_u, "--max-iters", str(args.iters)])
+        uargs = ["-c", cfg_u, "--max-iters",
+                 str(args.iters_unfold or args.iters)]
+        if args.device_datagen:
+            uargs.append("--device-datagen")
+        train_unfolding.main(uargs)
         done("unfold_save", _latest_dir(models))
 
     # 4) fusion trainer with frozen flow
     if "fusion_save" not in stage:
         flow_ckpts = glob.glob(
             os.path.join(stage["unfold_save"], "model-*.ckpt"))
+        it_f = args.iters_fusion or args.iters
         cfg_f = write_cfg(
             "q_fusion",
-            {"output_nc": 1, "flownet_path": stage["unfold_save"],
+            {"output_nc": 1, "total_iters": it_f, "decay_iters": it_f,
+             "valid_freq": it_f, "save_freq": it_f,
+             "flownet_path": stage["unfold_save"],
              "flownet_id": os.path.basename(sorted(flow_ckpts)[-1])},
             {"patch_size": [args.img_size, args.img_size],
              "det_size": args.patch,
              "interp_train_txt": "interp_train_data.txt",
              "gt_line": False},
         )
-        train_fusion.main(["-c", cfg_f, "--max-iters", str(args.iters)])
+        fargs = ["-c", cfg_f, "--max-iters",
+                 str(args.iters_fusion or args.iters)]
+        if args.device_datagen:
+            fargs.append("--device-datagen")
+        train_fusion.main(fargs)
         done("fusion_save", _latest_dir(models))
 
     # 5) degrade a fresh synthetic stack and restore it, f32 and bf16
