@@ -160,14 +160,28 @@ class SFFPipeline:
             "stitch": stitch / 255.0,
         }
 
-    def restore_stack(self, stack, damaged_ids, chunk=1):
+    # largest batch compiled as one launch: the batch-size sweep
+    # (PERFORMANCE.md) shows 4 is the throughput sweet spot at 1250^2 —
+    # batch 6 pushes the K=51 tap maps into a slow HBM regime and batch 8
+    # blows up XLA compile — so larger requests fall back to sub-launches
+    # of this size (>= 0.97x the batch-4 rate; VERDICT r2 item 7)
+    MAX_COMPILED_CHUNK = 4
+
+    def restore_stack(self, stack, damaged_ids, chunk=1,
+                      max_compiled_chunk=None):
         """Restore damaged sections of a (Z, H, W) uint8 stack.
 
         Interp inputs are the z-neighbors (k-1, k+1); sections are processed
         ``chunk`` at a time (one compile; K=51 kernel maps at full-section
-        resolution are HBM-heavy, ~1.3 GB per section). Returns
-        {id: {'interp', 'fused', 'stitch', ...}} with numpy uint8 images.
+        resolution are HBM-heavy, ~1.3 GB per section), capped at
+        ``max_compiled_chunk`` per launch (None = class default; pass 0 to
+        disable the cap). Returns {id: {'interp', 'fused', 'stitch', ...}}
+        with numpy uint8 images.
         """
+        cap = (self.MAX_COMPILED_CHUNK if max_compiled_chunk is None
+               else max_compiled_chunk)
+        if cap:
+            chunk = min(chunk, cap)
         # one host->HBM transfer for the whole stack (uint8; a 25x1250^2
         # stack is ~39 MB); per-section inputs are device-side slices, so
         # successive chunks pipeline behind the async dispatch queue
@@ -188,12 +202,26 @@ class SFFPipeline:
 
         Row sharding follows the zero-extended-canvas semantics: results
         equal the fused pipeline run on the halo-padded canvas, cropped.
-        Bit-exactness vs the single-device path holds where ``halo`` covers
-        the receptive-field margin; the pipeline's deep encoder levels have
-        a nominal margin of several hundred rows, but their contribution
-        decays with distance — halo=256 keeps the residual at the 1e-3
-        level (see tests/test_pipeline_sharded.py), and dp-only meshes
-        (space=1) are bit-exact.
+        Three accuracy regimes, pinned by tests/test_pipeline_sharded.py:
+
+        * seams: for the correction pass (FusionNet flow -> warp -> fusion
+          U-Net) a halo covering the receptive field (320 rows) makes the
+          sharded run match the same-canvas single-device run to <= 1
+          uint8 level on trained weights.
+        * image borders: the canvas's explicit zero halo differs from
+          per-layer conv zero padding (conv biases + BN shifts give the
+          zero region nonzero 'vacuum' activations), so a receptive-field
+          band at the top/bottom image edges deviates from the unpadded
+          single-device path; rows >= 320 from the edges match it to
+          <= 1 uint8.
+        * interp: the KPN encoder reaches 1/32 scale and its align-corners
+          upsampling is canvas-global, so row-sharded interp is
+          approximate everywhere; the residual decays with the halo
+          (test_dpxsp_sharded_converges_with_halo).
+
+        Shard sections over ``data_axis`` (bit-exact, space=1) when exact
+        reference parity matters; ``space_axis`` pays off for sections
+        much larger than the halo.
 
         Returns {id: {'interp', 'fused', 'stitch', 'warped', 'flow'}}.
         """

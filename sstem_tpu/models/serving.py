@@ -432,6 +432,10 @@ def ifnet_serve(variables, x, kernel_size=51, n_frames=1, assume_gray=True,
     padded_i1 = jnp.transpose(padded_i1, (0, 3, 1, 2))
     padded_i2 = jnp.transpose(padded_i2, (0, 3, 1, 2))
 
+    import os as _os
+
+    fused_tail = _os.environ.get("SSTEM_FUSED_UPCONV", "0") == "1"
+
     def head(hp):
         hq = featq
         for name in ("conv0", "conv1"):
@@ -441,12 +445,34 @@ def ifnet_serve(variables, x, kernel_size=51, n_frames=1, assume_gray=True,
         rr, ss, hh = _packed_conv_args(hp["conv2"]["Conv_0"], None, None, 64)
         hq = conv3x3_packed(hq, rr, ss, hh, "relu", wq=wq2x,
                             interpret=interpret)
+        if fused_tail:
+            # fused packed upsample+conv3 (kernels/upconv3x3.py): the
+            # full-res intermediate never touches HBM; in/out channels
+            # zero-padded 51 -> 64 reproduce the [..., :K] slice
+            from sstem_tpu.kernels.conv3x3 import (
+                build_packed_weights, fold_affine)
+            from sstem_tpu.kernels.upconv3x3 import (
+                build_upconv_coeffs, upconv3x3_packed)
+
+            k = kernel_size
+            w3 = hp["conv3"]["Conv_0"]["kernel"]
+            b3 = hp["conv3"]["Conv_0"]["bias"]
+            w64 = jnp.pad(w3, [(0, 0), (0, 0), (0, 64 - k), (0, 64 - k)])
+            b64 = jnp.pad(b3, [(0, 64 - k)])
+            r3 = build_packed_weights(w64.astype(_BF), 2)
+            sc3, sh3 = fold_affine(64, b64)
+            cf = build_upconv_coeffs(w // 2)
+            yq = upconv3x3_packed(hq, r3, sc3, sh3, cf,
+                                  wq_half=(w // 2) // 2,
+                                  interpret=interpret)
+            hmap_full = unpack_nhwc(yq, 64, w)[..., :k]
+            return jnp.transpose(hmap_full, (0, 3, 1, 2))
         # planar tail: (N, K, H/2, W/2) -> upsample -> conv3 (NCHW)
         hmap = unpack_nhwc(hq, 64, w // 2)[..., :kernel_size]
         hp_pl = jnp.transpose(hmap, (0, 3, 1, 2))
-        hp_pl = upsample2x_planar_mxu(hp_pl, precision=matmul_precision())
         w3 = hp["conv3"]["Conv_0"]["kernel"].astype(_BF)
         b3 = hp["conv3"]["Conv_0"]["bias"].astype(_BF)
+        hp_pl = upsample2x_planar_mxu(hp_pl, precision=matmul_precision())
         y = lax.conv_general_dilated(
             hp_pl, w3, (1, 1), [(1, 1)] * 2,
             dimension_numbers=("NCHW", "HWIO", "NCHW"),
