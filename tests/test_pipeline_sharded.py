@@ -72,3 +72,139 @@ def test_dpxsp_sharded_converges_with_halo():
     e32, e96 = err(32), err(96)
     assert e96 < e32, f"halo 96 err {e96:.3f} !< halo 32 err {e32:.3f}"
     assert e96 < 6.0, f"halo 96 err {e96:.3f}"
+
+
+def _train_tiny_chain(steps=120, n_samples=10, hw=96, det=64, k=5, seed=11):
+    """Briefly train the real 3-stage chain (interp KPN -> flow -> fusion) on
+    synthetic SFF data so the weights have production-like locality: the
+    receptive-field tail beyond the halo decays to quantization level, which
+    random-init BatchNorm nets do not exhibit."""
+    import optax
+
+    from sstem_tpu.data.sim_sff import degrade_sff
+    from sstem_tpu.ops import spatial_transform
+
+    rng = np.random.default_rng(seed)
+    stack = synth_stack(n_samples + 2, hw, hw, seed=seed)
+    off = (hw - det) // 2
+    sl = slice(off, off + det)
+    prev_l, mid_l, nxt_l, deg_l, flow2_l = [], [], [], [], []
+    for i in range(1, n_samples + 1):
+        d = degrade_sff(stack[i], rng, det_size=det,
+                        line_width_range=(5, 20))
+        prev_l.append(stack[i - 1][sl, sl])
+        mid_l.append(stack[i][sl, sl])
+        nxt_l.append(stack[i + 1][sl, sl])
+        deg_l.append(d["degraded"])
+        flow2_l.append(d["flow2"])
+    to01 = lambda a: jnp.asarray(np.stack(a), jnp.float32) / 255.0
+    prev, mid, nxt = to01(prev_l), to01(mid_l), to01(nxt_l)
+    deg = to01(deg_l)
+    flow2 = jnp.asarray(np.stack(flow2_l), jnp.float32)
+
+    def rep6(a, b):
+        return jnp.concatenate([jnp.repeat(a[..., None], 3, -1),
+                                jnp.repeat(b[..., None], 3, -1)], -1)
+
+    key = jax.random.PRNGKey(seed)
+    opt = optax.adam(1e-3)
+
+    def fit(model, x, y, train_kw, steps):
+        has_bn = bool(train_kw)
+        variables = jax.jit(
+            lambda kk, t: model.init(kk, t, **train_kw))(key, x[:2])
+        params = variables["params"]
+        bs = variables.get("batch_stats")
+        opt_state = opt.init(params)
+
+        @jax.jit
+        def step(params, bs, opt_state, xb, yb):
+            def loss(p):
+                v = {"params": p}
+                if has_bn:
+                    v["batch_stats"] = bs
+                    out, upd = model.apply(v, xb, train=True,
+                                           mutable=["batch_stats"])
+                    return jnp.abs(out - yb).mean(), upd["batch_stats"]
+                return jnp.abs(model.apply(v, xb) - yb).mean(), bs
+            (l, new_bs), g = jax.value_and_grad(loss, has_aux=True)(params)
+            up, opt_state = opt.update(g, opt_state, params)
+            return optax.apply_updates(params, up), new_bs, opt_state, l
+
+        n = x.shape[0]
+        for t in range(steps):
+            idx = np.arange(t * 8, (t + 1) * 8) % n
+            params, bs, opt_state, _ = step(params, bs, opt_state,
+                                            x[idx], y[idx])
+        out = {"params": params}
+        if bs is not None:
+            out["batch_stats"] = bs
+        return out
+
+    iv = fit(IFNet(k, 1), rep6(prev, nxt), mid[..., None], {}, steps)
+    interp = IFNet(k, 1).apply(iv, rep6(prev, nxt))[..., 0]
+    fv = fit(FusionNet(output_nc=2), rep6(deg, interp), flow2,
+             {"train": True}, steps)
+    flow = FusionNet(output_nc=2).apply(
+        fv, rep6(deg, interp), train=False)
+    warped = spatial_transform(deg[..., None], flow)[..., 0]
+    uv = fit(UNetSFF(1), rep6(warped, interp), mid[..., None],
+             {"train": True}, steps)
+    return SFFPipeline(interp_vars=iv, flow_vars=fv, fusion_vars=uv,
+                       kernel_size=k)
+
+
+def test_dpxsp_sharded_trained_weights_production_halo():
+    """Row-sharded correction pass (flow -> warp -> fusion U-Net) on
+    trained weights, production halo geometry (VERDICT r2 item 6):
+
+    1. the sp=2 sharded run equals the SAME zero-extended-canvas run on
+       one device to <= 1 uint8 level (seam exactness: halo 320 covers the
+       FusionNet+UNet receptive field);
+    2. vs the UNPADDED single-device path, rows >= 320 from the image
+       edges also match to <= 1 uint8 (the canvas's explicit zero halo
+       differs from per-layer conv padding only within a receptive-field
+       band of the image borders — conv biases + BN shifts give the zero
+       region nonzero 'vacuum' activations; documented in
+       infer/pipeline.py).
+
+    The interp KPN reaches 1/32 scale + align-corners upsampling (canvas-
+    global), so row-sharded interp is approximate by design; its
+    halo-decay is pinned by test_dpxsp_sharded_converges_with_halo."""
+    pipe = _train_tiny_chain(steps=300)
+    stack = synth_stack(6, 768, 64, seed=21)
+    deg = stack[[1, 3]]
+    interp = np.asarray(
+        pipe.interpolate(stack[[0, 2]], stack[[2, 4]]) * 255.0)
+
+    from sstem_tpu.infer.pipeline import _gray6, _to01
+    from sstem_tpu.parallel.spatial import spatial_apply
+
+    x6 = _gray6(_to01(deg), _to01(np.asarray(interp)))
+
+    def restore_cat(xb):
+        pred, flow, warped = pipe._restore_fn(pipe.flow_vars,
+                                              pipe.fusion_vars, xb)
+        return jnp.concatenate([pred, warped], axis=-1)
+
+    halo = 320
+    mesh2 = make_mesh(n_data=1, n_space=2, devices=jax.devices()[:2])
+    mesh1 = make_mesh(n_data=1, n_space=1, devices=jax.devices()[:1])
+    out_sh = np.asarray(spatial_apply(restore_cat, x6, mesh2, halo=halo))
+    out_1d = np.asarray(spatial_apply(restore_cat, x6, mesh1, halo=halo))
+
+    def to8(a):
+        return np.floor(np.clip(a, 0.0, 1.0) * 255.0).astype(np.int16)
+
+    # 1. seam exactness on the shared canvas semantics
+    d = np.abs(to8(out_sh[..., 0]) - to8(out_1d[..., 0]))
+    assert d.max() <= 1, f"canvas fused: max {d.max()}"
+    assert d.mean() <= 1e-3, f"canvas fused: mean {d.mean():.5f}"
+
+    # 2. interior band vs the plain (unpadded) single-device restore
+    single = pipe.restore(deg, interp)
+    fused_plain = to8(np.asarray(single["fused"]))
+    inner = slice(halo, -halo)
+    d2 = np.abs(to8(out_sh[..., 0])[:, inner] - fused_plain[:, inner])
+    assert d2.max() <= 1, f"interior fused: max {d2.max()}"
+    assert d2.mean() <= 1e-2, f"interior fused: mean {d2.mean():.5f}"
