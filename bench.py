@@ -195,10 +195,12 @@ def main():
         if 0.75 <= ratio <= 1.35:
             break
     else:
-        raise SystemExit(
-            f"bench stage table inconsistent with headline: "
-            f"sum={sum(stages.values()):.1f} ms vs headline "
-            f"{headline_ms:.1f} ms/section after 4 attempts")
+        # never publish a stage table contradicting the headline (the r2
+        # failure mode) — but never lose the benchmark either: drop the
+        # bogus table and flag it
+        stages = {"inconsistent_after_4_attempts": round(
+            sum(stages.values()), 1)}
+        ratio = float("nan")
 
     # training-step throughput (BASELINE config 5 / VERDICT r2 item 5):
     # the reference interp trainer's workload (ms_l1loss_decay: IFNet
@@ -303,7 +305,7 @@ def main():
         "vs_baseline": round(mps / REFERENCE_GPU_MPS, 3),
         "ms_per_section": round(headline_ms, 1),
         "stage_ms_per_section": stages,
-        "stage_sum_vs_headline": round(ratio, 3),
+        "stage_sum_vs_headline": (None if ratio != ratio else round(ratio, 3)),
         "config": {"batch": BATCH, "compiled_batch": COMPILED_BATCH,
                    "dtype": "bfloat16", "packed": True,
                    "packed_conv_serving": True},
