@@ -198,7 +198,8 @@ def main():
         cfgmod.set_compute_dtype(None if mode == "float32" else "bfloat16")
         pipe = SFFPipeline(interp_vars=iv, flow_vars=fvv, fusion_vars=uvv,
                            kernel_size=51, ngf=32,
-                           packed_conv=(mode == "bfloat16"))
+                           packed_conv=(mode == "bfloat16"
+                                        and jax.default_backend() == "tpu"))
         res = pipe.restore_stack(degraded, damaged_ids, chunk=len(damaged_ids))
         rows = {}
         for key in ("interp", "fused", "stitch"):
