@@ -73,13 +73,20 @@ def main():
         return best, out
 
     t_interp, interp = timed(lambda: ifnet(x6))
+    print(f"interp(ifnet+sepconv): {t_interp:.2f} s", flush=True)
     t_flow, flow = timed(lambda: flownet(x6), reps=2)
+    print(f"flow(fusionnet): {t_flow:.2f} s", flush=True)
+    # reference call shape: forward(moving NCHW, deformation NHWC)
+    # (image_warp_torch.py:97-101; usage sff_scripts_fusion/inference.py:150)
     t_warp, warped = timed(
-        lambda: stn(x6[:, 0:3].permute(0, 2, 3, 1),
-                    flow.permute(0, 2, 3, 1)), reps=2)
+        lambda: stn(x6[:, 0:3], flow.permute(0, 2, 3, 1)), reps=2)
+    print(f"warp: {t_warp:.2f} s  out {tuple(warped.shape)}", flush=True)
     x6f = x6.clone()
-    x6f[:, 0:3] = warped.permute(0, 3, 1, 2)
+    if warped.shape[1] != 3:  # NHWC return variant
+        warped = warped.permute(0, 3, 1, 2)
+    x6f[:, 0:3] = warped
     t_unet, _ = timed(lambda: unet(x6f), reps=2)
+    print(f"fusion(unet): {t_unet:.2f} s", flush=True)
 
     total = t_interp + t_flow + t_warp + t_unet
     mps = hw * hw / total / 1e6
