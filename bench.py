@@ -30,6 +30,7 @@ measures ~120 GB/s. The bench warms accordingly and reports best-of-2.
 """
 
 import json
+import os
 import subprocess
 import sys
 import time
@@ -38,13 +39,61 @@ import numpy as np
 
 REFERENCE_GPU_MPS = 1.6
 
+
+def _emit_error(error, detail, rc=2):
+    """Always leave ONE parseable JSON line, never a bare traceback.
+
+    BENCH_r03.json was an unhandled ``Unable to initialize backend 'axon'``
+    traceback — the round published no benchmark artifact at all. Any
+    failure now degrades to a structured line the driver can record.
+    """
+    print(json.dumps({
+        "metric": "sff_full_pipeline_throughput",
+        "value": None,
+        "unit": "MP/s/chip",
+        "vs_baseline": None,
+        "error": error,
+        "detail": detail,
+    }))
+    sys.exit(rc)
+
+
+def _await_backend():
+    """Bound BOTH known failure modes of the tunneled TPU: init errors and
+    hangs. The probe runs in a subprocess (an in-process ``jax.devices()``
+    that hangs inside the C++ client cannot be interrupted from Python),
+    retrying with backoff; on final failure emits the structured error line.
+    """
+    retries = int(os.environ.get("BENCH_BACKEND_RETRIES", "4"))
+    probe_timeout = int(os.environ.get("BENCH_BACKEND_PROBE_TIMEOUT", "300"))
+    detail = "unknown"
+    for attempt in range(retries):
+        try:
+            p = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; d = jax.devices(); "
+                 "print('BACKEND_OK', len(d), d[0].platform)"],
+                capture_output=True, text=True, timeout=probe_timeout)
+            lines = p.stdout.strip().splitlines()
+            if p.returncode == 0 and lines and lines[-1].startswith(
+                    "BACKEND_OK"):
+                return lines[-1]
+            err = [l for l in p.stderr.strip().splitlines() if l.strip()]
+            detail = err[-1] if err else f"probe rc={p.returncode}"
+        except subprocess.TimeoutExpired:
+            detail = f"backend probe timed out after {probe_timeout}s"
+        if attempt < retries - 1:
+            time.sleep(min(120, 15 * 2 ** attempt))
+    _emit_error("tpu_unavailable", detail)
+
 SECTION = 1250
 N_SECTIONS = 25
 DAMAGED = list(range(1, N_SECTIONS - 1, 2))  # 12 damaged sections
-BATCH = int(__import__("os").environ.get("BENCH_BATCH", "4"))
+BATCH = int(os.environ.get("BENCH_BATCH", "4"))
 
 
 def main():
+    _await_backend()
     import jax
     import jax.numpy as jnp
 
@@ -315,4 +364,12 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except SystemExit:
+        raise
+    except BaseException as e:  # incl. KeyboardInterrupt from a driver kill
+        import traceback
+        tail = traceback.format_exc().strip().splitlines()[-1]
+        _emit_error("bench_failed", f"{type(e).__name__}: {e} | {tail}",
+                    rc=1)

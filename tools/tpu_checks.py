@@ -153,7 +153,33 @@ def run_checks():
 
 
 def main():
-    results = run_checks()
+    # Outage guard (VERDICT r3 item 3): the tunneled backend can fail to
+    # init or hang; never leave a bare traceback as the artifact. The
+    # subprocess probe bounds hangs (an in-process jax.devices() stuck in
+    # the C++ client cannot be interrupted from Python).
+    import subprocess
+    probe_timeout = int(os.environ.get("BENCH_BACKEND_PROBE_TIMEOUT", "300"))
+    try:
+        p = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; jax.devices(); print('BACKEND_OK')"],
+            capture_output=True, text=True, timeout=probe_timeout)
+        ok = p.returncode == 0 and "BACKEND_OK" in p.stdout
+        detail = (None if ok else
+                  ([l for l in p.stderr.strip().splitlines() if l.strip()]
+                   or [f"probe rc={p.returncode}"])[-1])
+    except subprocess.TimeoutExpired:
+        ok, detail = False, f"backend probe timed out after {probe_timeout}s"
+    if not ok:
+        print(json.dumps({"tpu_checks": "error",
+                          "error": "tpu_unavailable", "detail": detail}))
+        return 2
+    try:
+        results = run_checks()
+    except Exception as e:
+        print(json.dumps({"tpu_checks": "error",
+                          "detail": f"{type(e).__name__}: {e}"}))
+        return 2
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "TPU_CHECKS.json")
     with open(out, "w") as f:
