@@ -9,6 +9,7 @@ round-trips between stages.
 """
 
 import argparse
+import itertools
 import os
 
 import jax
@@ -169,15 +170,6 @@ def main(argv=None):
         raw_step = make_fusion_devgen_step(
             cfg, flow_vars, opt, mesh, flow_model, unet,
             det_size=cfg.DATA.get("det_size", 256))
-
-        class _StepCounter:
-            n = 0
-
-        def train_step(state, batch):  # noqa: F811 - datagen-in-step
-            clean, interp = batch
-            _StepCounter.n += 1
-            return raw_step(state, (clean, interp,
-                                    jnp.asarray(_StepCounter.n)))
     else:
         ds = FusionTrainDataset(
             cfg.DATA.folder_name, cfg.DATA.train_txt,
@@ -212,6 +204,18 @@ def main(argv=None):
             state = state.replace(params=mw["params"],
                                   batch_stats=mw.get("batch_stats"))
             start_iter = int(ck["current_iter"])
+
+    if args.device_datagen:
+        # Degradation RNG keys off the iteration index: resume at
+        # start_iter continues the synthetic stream instead of replaying
+        # it from step 1, and the local counter is never shared across
+        # trainers in one process (ADVICE r3).
+        step_counter = itertools.count(start_iter + 1)
+
+        def train_step(state, batch):  # noqa: F811 - datagen-in-step
+            clean, interp = batch
+            return raw_step(state, (clean, interp,
+                                    jnp.asarray(next(step_counter))))
 
     def valid_fn(st, iters):
         if valid_ds is None:

@@ -4,6 +4,7 @@ flow, EPE validation with a warped preview.
 """
 
 import argparse
+import itertools
 import os
 
 import jax
@@ -85,15 +86,6 @@ def main(argv=None):
             model, opt, mesh=mesh, det_size=det,
             seed=int(tr.random_seed or 0),
         )
-
-        class _StepCounter:
-            n = 0
-
-        def train_step(state, batch):  # noqa: F811 - datagen-in-step variant
-            clean, interp = batch
-            _StepCounter.n += 1
-            return raw_step(state, (clean, interp,
-                                    jnp.asarray(_StepCounter.n)))
     else:
         ds = UnfoldingTrainDataset(
             cfg.DATA.folder_name, cfg.DATA.train_txt,
@@ -127,6 +119,18 @@ def main(argv=None):
             state = state.replace(params=mw["params"],
                                   batch_stats=mw.get("batch_stats"))
             start_iter = int(ck["current_iter"])
+
+    if args.device_datagen:
+        # Degradation RNG keys off the iteration index: resume at
+        # start_iter continues the synthetic stream instead of replaying
+        # it from step 1, and the local counter is never shared across
+        # trainers in one process (ADVICE r3).
+        step_counter = itertools.count(start_iter + 1)
+
+        def train_step(state, batch):  # noqa: F811 - datagen-in-step variant
+            clean, interp = batch
+            return raw_step(state, (clean, interp,
+                                    jnp.asarray(next(step_counter))))
 
     def valid_fn(st, iters):
         if valid_ds is None:

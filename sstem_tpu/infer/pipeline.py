@@ -58,10 +58,17 @@ class SFFPipeline:
                          # ~1.7x faster on TPU; see models/ifnet.py)
     packed_conv: Optional[bool] = None  # pixel-packed Pallas conv serving
         # for FusionNet/UNetSFF (models/serving.py); None = auto (TPU only)
+    fused_tail: Optional[bool] = None  # fused upsample+conv3 IFNet head
+        # tail (kernels/upconv3x3.py); None = read SSTEM_FUSED_UPCONV once
+        # HERE, at construction — never at trace time (ADVICE r3: the jit
+        # cache does not key on env vars)
 
     def __post_init__(self):
         if self.packed_conv is None:
             self.packed_conv = jax.default_backend() == "tpu"
+        if self.fused_tail is None:
+            import os
+            self.fused_tail = os.environ.get("SSTEM_FUSED_UPCONV", "0") == "1"
         if self.ngf != 32:
             self.packed_conv = False  # packed serving targets reference ngf
         self.interp_model = IFNet(kernel_size=self.kernel_size, n_frames=1,
@@ -76,7 +83,8 @@ class SFFPipeline:
             # (tools/ifnet_prefix_bench.py; PERFORMANCE.md)
             if self.packed_conv:
                 return ifnet_serve(variables, x,
-                                   kernel_size=self.kernel_size, n_frames=1)
+                                   kernel_size=self.kernel_size, n_frames=1,
+                                   fused_tail=self.fused_tail)
             return self.interp_model.apply(variables, x)
 
         def restore_fn(flow_v, fusion_v, inputs):
@@ -180,8 +188,15 @@ class SFFPipeline:
         """
         cap = (self.MAX_COMPILED_CHUNK if max_compiled_chunk is None
                else max_compiled_chunk)
-        if cap:
-            chunk = min(chunk, cap)
+        if cap and chunk > cap:
+            # visible, not silent (ADVICE r3): callers asking for one big
+            # launch get sub-launches of `cap` unless they opt out
+            import logging
+            logging.getLogger(__name__).warning(
+                "restore_stack: requested chunk %d capped to %d sub-launches"
+                " (the measured throughput sweet spot; pass"
+                " max_compiled_chunk=0 to disable)", chunk, cap)
+            chunk = cap
         # one host->HBM transfer for the whole stack (uint8; a 25x1250^2
         # stack is ~39 MB); per-section inputs are device-side slices, so
         # successive chunks pipeline behind the async dispatch queue

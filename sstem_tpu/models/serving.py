@@ -363,7 +363,7 @@ def _upsample_module_xla(x, p, out_hw=None):
 
 
 def ifnet_serve(variables, x, kernel_size=51, n_frames=1, assume_gray=True,
-                interpret=False):
+                interpret=False, fused_tail=False):
     """Eval-mode IFNet forward: packed convs at full res (conv32 module)
     and half res (conv64 / upconv64 / upsamp64 / head conv0-2), the planar
     upsample + conv3 + Pallas sepconv tail of models/ifnet.py (packed=True)
@@ -432,9 +432,10 @@ def ifnet_serve(variables, x, kernel_size=51, n_frames=1, assume_gray=True,
     padded_i1 = jnp.transpose(padded_i1, (0, 3, 1, 2))
     padded_i2 = jnp.transpose(padded_i2, (0, 3, 1, 2))
 
-    import os as _os
-
-    fused_tail = _os.environ.get("SSTEM_FUSED_UPCONV", "0") == "1"
+    # fused_tail is an explicit argument (ADVICE r3): under jit the choice
+    # is baked into the trace, and the jit cache keys on it like any other
+    # static Python value — callers (SFFPipeline) read the
+    # SSTEM_FUSED_UPCONV env once at construction, never at trace time.
 
     def head(hp):
         hq = featq

@@ -148,10 +148,11 @@ def test_gray_pair_fold_exact():
                                atol=0.02, rtol=0.05)
 
 
-def test_ifnet_serve_fused_upconv_tail_matches(monkeypatch):
-    """SSTEM_FUSED_UPCONV=1 swaps the head tail for the fused packed
+def test_ifnet_serve_fused_upconv_tail_matches():
+    """fused_tail=True swaps the head tail for the fused packed
     upsample+conv3 kernel (kernels/upconv3x3.py); outputs match the planar
-    tail at bf16 tolerance."""
+    tail at bf16 tolerance. The choice is an explicit argument (ADVICE r3),
+    not an env read at trace time."""
     from sstem_tpu.models import IFNet
     from sstem_tpu.models.serving import ifnet_serve
 
@@ -167,10 +168,9 @@ def test_ifnet_serve_fused_upconv_tail_matches(monkeypatch):
 
     cfg.set_compute_dtype("bfloat16")
     try:
-        monkeypatch.delenv("SSTEM_FUSED_UPCONV", raising=False)
         want = ifnet_serve(variables, x, kernel_size=k, interpret=True)
-        monkeypatch.setenv("SSTEM_FUSED_UPCONV", "1")
-        got = ifnet_serve(variables, x, kernel_size=k, interpret=True)
+        got = ifnet_serve(variables, x, kernel_size=k, interpret=True,
+                          fused_tail=True)
     finally:
         cfg.set_compute_dtype(None)
     got = np.asarray(got, np.float32)

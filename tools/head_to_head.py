@@ -275,6 +275,7 @@ def stage_torch(root, iters):
     mods = _torch_setup()
     images = training_images()
     mark = _marker(root)
+    _record_iters(mark, root, iters)
 
     # 1) interp
     if "torch_interp" not in mark:
@@ -415,6 +416,7 @@ def stage_jax(root, iters):
     # speed is benched elsewhere
     images = training_images()
     mark = _marker(root)
+    _record_iters(mark, root, iters)
 
     def copy_tree(tree):
         return jax.tree.map(lambda a: jnp.array(np.array(a, copy=True)),
@@ -596,22 +598,41 @@ def _unflat_np(npz):
 # report
 # ---------------------------------------------------------------------------
 
-def stage_report(root, out_path):
+def _score_vs_clean(clean, img_by_id):
     from sstem_tpu.metrics import compute_psnr, compute_ssim
 
+    ps, ss = [], []
+    for i in DAMAGED:
+        pred = img_by_id[i].astype(np.float64)
+        gt = clean[i].astype(np.float64)
+        p = compute_psnr(gt, pred)
+        ps.append(p[1] if isinstance(p, tuple) else p)
+        ss.append(compute_ssim(gt, pred))
+    return float(np.mean(ps)), float(np.mean(ss))
+
+
+def stage_score_torch(root):
+    """Score ONLY the torch side of a run (for seed-perturbation controls,
+    which have no jax stage). Writes <root>/control_scores.json."""
+    clean, _ = eval_stack()
+    tz = np.load(os.path.join(root, "torch_eval.npz"))
+    out = {"iters": _marker(root).get("iters", ITERS)}
+    for key in ("interp", "fused", "stitch"):
+        p, s = _score_vs_clean(clean, {i: tz[f"{key}_{i}"] for i in DAMAGED})
+        out[key] = {"psnr": round(p, 3), "ssim": round(s, 4)}
+    path = os.path.join(root, "control_scores.json")
+    json.dump(out, open(path, "w"), indent=1)
+    print(json.dumps(out))
+
+
+def stage_report(root, out_path):
+    iters_used = _marker(root).get("iters", ITERS)
     clean, degraded = eval_stack()
     tz = np.load(os.path.join(root, "torch_eval.npz"))
     jz = np.load(os.path.join(root, "jax_eval.npz"))
 
     def score(img_by_id):
-        ps, ss = [], []
-        for i in DAMAGED:
-            pred = img_by_id[i].astype(np.float64)
-            gt = clean[i].astype(np.float64)
-            p = compute_psnr(gt, pred)
-            ps.append(p[1] if isinstance(p, tuple) else p)
-            ss.append(compute_ssim(gt, pred))
-        return float(np.mean(ps)), float(np.mean(ss))
+        return _score_vs_clean(clean, img_by_id)
 
     rows = []
     worst = 0.0
@@ -621,18 +642,14 @@ def stage_report(root, out_path):
         s_p, s_s = score({i: jz[f"serve_{key}_{i}"] for i in DAMAGED})
         rows.append((key, t_p, t_s, j_p, j_s, s_p, s_s))
         worst = max(worst, abs(j_p - t_p))
-    base_p = np.mean([
-        (lambda p: p[1] if isinstance(p, tuple) else p)(
-            compute_psnr(clean[i].astype(np.float64),
-                         degraded[i].astype(np.float64)))
-        for i in DAMAGED])
+    base_p = _score_vs_clean(clean, {i: degraded[i] for i in DAMAGED})[0]
 
     lines = [
         "# H2H — head-to-head quality parity vs the PyTorch reference",
         "",
         f"Both sides trained from IDENTICAL torch-seeded init on IDENTICAL "
         f"deterministic batch streams (K={K}, ngf=32, patch {PATCH}^2, "
-        f"batch {BATCH}, {ITERS} Adam+poly-LR iters per stage, L1), "
+        f"batch {BATCH}, {iters_used} Adam+poly-LR iters per stage, L1), "
         f"chained interp -> unfolding -> fusion with each side's own "
         f"interp images, then both restored the same {len(DAMAGED)} "
         f"SimuSFF-degraded {EVAL_HW}^2 sections "
@@ -677,16 +694,35 @@ def _set(mark, root, key):
     json.dump(mark, open(os.path.join(root, "stage.json"), "w"))
 
 
+def _record_iters(mark, root, iters):
+    """Persist the --iters actually used so stage_report states the real
+    training length, not the module default (ADVICE r3)."""
+    if mark.get("iters") not in (None, iters):
+        raise SystemExit(
+            f"{root}/stage.json was produced with --iters {mark['iters']}; "
+            f"rerunning with --iters {iters} would mix horizons — use a "
+            "fresh --root or pass the matching --iters")
+    mark["iters"] = iters
+    json.dump(mark, open(os.path.join(root, "stage.json"), "w"))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", default="/tmp/sstem_h2h")
     ap.add_argument("--stage", required=True,
-                    choices=["prep", "torch", "jax", "report"])
+                    choices=["prep", "torch", "jax", "report", "score_torch"])
     ap.add_argument("--iters", type=int, default=ITERS)
     ap.add_argument("--out", default="H2H.md")
     ap.add_argument("--seed-offset", type=int, default=0,
                     help="shift init + batch-stream seeds (noise control)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="pin jax to the host CPU (control runs touch jax "
+                         "only via the host-exact degradation warp; with "
+                         "the TPU tunnel down, backend init would hang)")
     args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     if args.seed_offset:
         apply_seed_offset(args.seed_offset)
     os.makedirs(args.root, exist_ok=True)
@@ -696,6 +732,8 @@ def main():
         stage_torch(args.root, args.iters)
     elif args.stage == "jax":
         stage_jax(args.root, args.iters)
+    elif args.stage == "score_torch":
+        stage_score_torch(args.root)
     else:
         stage_report(args.root, args.out)
 
