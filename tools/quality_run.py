@@ -217,7 +217,10 @@ def main():
                            degraded[i].astype(np.float64)) for i in
               damaged_ids]
         ps = [p[1] if isinstance(p, tuple) else p for p in ps]
-        rows["degraded(baseline)"] = (float(np.mean(ps)), float("nan"))
+        ss = [compute_ssim(clean[i].astype(np.float64),
+                           degraded[i].astype(np.float64)) for i in
+              damaged_ids]
+        rows["degraded(baseline)"] = (float(np.mean(ps)), float(np.mean(ss)))
         results[mode] = rows
         print(mode, rows, flush=True)
     cfgmod.set_compute_dtype(None)
