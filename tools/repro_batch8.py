@@ -110,7 +110,10 @@ def one_cell(stage, batch):
     jax.config.update("jax_compilation_cache_dir",
                       f"/tmp/repro_b8_cache_{stage}_{batch}")
     fn = build_fn(stage)
-    shape = jax.ShapeDtypeStruct((batch, SECTION, SECTION), jnp.float32)
+    # bench.py pads the whole stack to a 32-multiple before the fused
+    # program; compile at the same padded shape
+    padded = -(-SECTION // 32) * 32
+    shape = jax.ShapeDtypeStruct((batch, padded, padded), jnp.float32)
     t0 = time.time()
     lowered = jax.jit(fn).lower(shape, shape, shape)
     t_lower = time.time() - t0
