@@ -269,13 +269,14 @@ def _torch_train(model, batch_fn, iters, forward=None, log=""):
     return model
 
 
-def stage_torch(root, iters):
+def stage_torch(root, iters, iters_fusion=None):
     import torch
 
     mods = _torch_setup()
     images = training_images()
     mark = _marker(root)
-    _record_iters(mark, root, iters)
+    _record_iters(mark, root, iters, iters_fusion)
+    iters_fusion = iters_fusion or iters
 
     # 1) interp
     if "torch_interp" not in mark:
@@ -338,7 +339,7 @@ def stage_torch(root, iters):
             unet,
             lambda t: (lambda b: (b[0], b[2]))(
                 degraded_batch(t, images, interps, SEED_F)),
-            iters, forward=fusion_forward, log="fusion")
+            iters_fusion, forward=fusion_forward, log="fusion")
         torch.save(unet.state_dict(), os.path.join(root, "torch_unet.pt"))
         _set(mark, root, "torch_fusion")
 
@@ -398,7 +399,7 @@ def _nhwc(x):
     return np.ascontiguousarray(np.transpose(x, (0, 2, 3, 1)))
 
 
-def stage_jax(root, iters):
+def stage_jax(root, iters, iters_fusion=None):
     import jax
     import jax.numpy as jnp
     import optax
@@ -416,7 +417,8 @@ def stage_jax(root, iters):
     # speed is benched elsewhere
     images = training_images()
     mark = _marker(root)
-    _record_iters(mark, root, iters)
+    _record_iters(mark, root, iters, iters_fusion)
+    iters_fusion = iters_fusion or iters
 
     def copy_tree(tree):
         return jax.tree.map(lambda a: jnp.array(np.array(a, copy=True)),
@@ -537,7 +539,7 @@ def stage_jax(root, iters):
             FusionWrapper(), init,
             lambda t: (lambda b: (b[0], b[2]))(
                 degraded_batch(t, images, interps, SEED_F)),
-            iters, has_bn=True, log="fusion")
+            iters_fusion, has_bn=True, log="fusion")
         np.savez(os.path.join(root, "jax_unet.npz"), **_flat_np(final))
         _set(mark, root, "jax_fusion")
 
@@ -616,7 +618,10 @@ def stage_score_torch(root):
     which have no jax stage). Writes <root>/control_scores.json."""
     clean, _ = eval_stack()
     tz = np.load(os.path.join(root, "torch_eval.npz"))
-    out = {"iters": _marker(root).get("iters", ITERS)}
+    mark = _marker(root)
+    out = {"iters": mark.get("iters", ITERS)}
+    if mark.get("iters_fusion"):
+        out["iters_fusion"] = mark["iters_fusion"]
     for key in ("interp", "fused", "stitch"):
         p, s = _score_vs_clean(clean, {i: tz[f"{key}_{i}"] for i in DAMAGED})
         out[key] = {"psnr": round(p, 3), "ssim": round(s, 4)}
@@ -626,7 +631,10 @@ def stage_score_torch(root):
 
 
 def stage_report(root, out_path):
-    iters_used = _marker(root).get("iters", ITERS)
+    mark = _marker(root)
+    iters_used = mark.get("iters", ITERS)
+    if mark.get("iters_fusion"):
+        iters_used = (f"{iters_used} (fusion: {mark['iters_fusion']})")
     clean, degraded = eval_stack()
     tz = np.load(os.path.join(root, "torch_eval.npz"))
     jz = np.load(os.path.join(root, "jax_eval.npz"))
@@ -694,7 +702,7 @@ def _set(mark, root, key):
     json.dump(mark, open(os.path.join(root, "stage.json"), "w"))
 
 
-def _record_iters(mark, root, iters):
+def _record_iters(mark, root, iters, iters_fusion=None):
     """Persist the --iters actually used so stage_report states the real
     training length, not the module default (ADVICE r3)."""
     if mark.get("iters") not in (None, iters):
@@ -703,6 +711,13 @@ def _record_iters(mark, root, iters):
             f"rerunning with --iters {iters} would mix horizons — use a "
             "fresh --root or pass the matching --iters")
     mark["iters"] = iters
+    if iters_fusion:
+        if mark.get("iters_fusion") not in (None, iters_fusion):
+            raise SystemExit(
+                f"{root}/stage.json has iters_fusion="
+                f"{mark['iters_fusion']}; refusing to mix with "
+                f"{iters_fusion}")
+        mark["iters_fusion"] = iters_fusion
     json.dump(mark, open(os.path.join(root, "stage.json"), "w"))
 
 
@@ -712,6 +727,9 @@ def main():
     ap.add_argument("--stage", required=True,
                     choices=["prep", "torch", "jax", "report", "score_torch"])
     ap.add_argument("--iters", type=int, default=ITERS)
+    ap.add_argument("--iters-fusion", type=int, default=None,
+                    help="override the FUSION stage horizon only (the "
+                         "stage whose delta needs a longer run to resolve)")
     ap.add_argument("--out", default="H2H.md")
     ap.add_argument("--seed-offset", type=int, default=0,
                     help="shift init + batch-stream seeds (noise control)")
@@ -729,9 +747,9 @@ def main():
     if args.stage == "prep":
         stage_prep(args.root)
     elif args.stage == "torch":
-        stage_torch(args.root, args.iters)
+        stage_torch(args.root, args.iters, args.iters_fusion)
     elif args.stage == "jax":
-        stage_jax(args.root, args.iters)
+        stage_jax(args.root, args.iters, args.iters_fusion)
     elif args.stage == "score_torch":
         stage_score_torch(args.root)
     else:
