@@ -134,10 +134,15 @@ def main():
     from sstem_tpu.models.serving import (
         fusionnet_serve, ifnet_serve, unet_sff_serve)
 
+    # fused head tail A/B switch: read ONCE here (ADVICE r3 — never at
+    # trace time), published in the config block below
+    fused_tail = os.environ.get("SSTEM_FUSED_UPCONV", "0") == "1"
+
     def interp_stage(iv, prev_img, next_img):
         x = _gray6(_to01(prev_img), _to01(next_img))
         x, _ = pad_to_multiple(x, 32)
-        interp = ifnet_serve(iv, x)[..., 0].astype(jnp.float32)
+        interp = ifnet_serve(
+            iv, x, fused_tail=fused_tail)[..., 0].astype(jnp.float32)
         return jnp.clip(interp, 0.0, 1.0)
 
     def restore_stage(fv, uv, degraded, interp):
@@ -238,17 +243,19 @@ def main():
     # the headline ms/section (within tolerance — separately-jitted stages
     # lose cross-stage fusion and include the batch-padding row overhead).
     headline_ms = dt / len(DAMAGED) * 1e3
+    attempt_sums = []
     for _ in range(4):
         stages = measure_stages()
-        ratio = sum(stages.values()) / headline_ms
+        attempt_sums.append(round(sum(stages.values()), 1))
+        ratio = attempt_sums[-1] / headline_ms
         if 0.75 <= ratio <= 1.35:
             break
     else:
         # never publish a stage table contradicting the headline (the r2
         # failure mode) — but never lose the benchmark either: drop the
-        # bogus table and flag it
-        stages = {"inconsistent_after_4_attempts": round(
-            sum(stages.values()), 1)}
+        # bogus table and flag it, keeping the raw per-attempt sums so a
+        # reviewer can see the rig noise (VERDICT r3 weak 8)
+        stages = {"inconsistent_after_4_attempts": attempt_sums[-1]}
         ratio = float("nan")
 
     # training-step throughput (BASELINE config 5 / VERDICT r2 item 5):
@@ -355,9 +362,10 @@ def main():
         "ms_per_section": round(headline_ms, 1),
         "stage_ms_per_section": stages,
         "stage_sum_vs_headline": (None if ratio != ratio else round(ratio, 3)),
+        "stage_attempt_sums_ms": attempt_sums,
         "config": {"batch": BATCH, "compiled_batch": COMPILED_BATCH,
                    "dtype": "bfloat16", "packed": True,
-                   "packed_conv_serving": True},
+                   "packed_conv_serving": True, "fused_tail": fused_tail},
         "train_step_throughput": train_tp,
         "tpu_checks": checks,
     }))
