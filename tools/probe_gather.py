@@ -263,10 +263,29 @@ def bench(args):
         return f, src, idx
 
     for axis, rows, cols in [(0, 256, 128), (0, 1288, 128), (0, 256, 1280),
-                             (1, 8, 128), (1, 8, 384), (1, 8, 1280),
-                             (1, 256, 1280)]:
+                             (1, 8, 128), (1, 8, 256), (1, 8, 384),
+                             (1, 8, 1280), (1, 256, 1280)]:
         f, src, idx = prim(axis, rows, cols)
         tbench(f, src, idx, name=f"prim_gather axis={axis} {rows}x{cols}")
+
+    # dynamic-shift lane roll (the gather-free fallback's inner op)
+    def prim_roll(rows, cols):
+        def k(src_ref, s_ref, out_ref):
+            out_ref[:] = pltpu.roll(src_ref[:], s_ref[0, 0], axis=1)
+
+        src = jnp.asarray(rng.random((rows, cols)), jnp.float32)
+        s = jnp.asarray([[17]], jnp.int32)
+        f = jax.jit(lambda a, b: pl.pallas_call(
+            k, out_shape=jax.ShapeDtypeStruct((rows, cols), jnp.float32),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                      pl.BlockSpec((1, 1), memory_space=pltpu.SMEM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        )(a, b))
+        return f, src, s
+
+    for rows, cols in [(8, 128), (8, 1280)]:
+        f, src, s = prim_roll(rows, cols)
+        tbench(f, src, s, name=f"prim_roll_dynshift {rows}x{cols}")
 
     tbench(jax.jit(spatial_transform), im, flow,
            name="spatial_transform (XLA)")
