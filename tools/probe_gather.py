@@ -21,6 +21,16 @@ Parity: exact vs ops/warp.py::spatial_transform (same clamp quirks, same
 zero 1-px border) on fold-synthesis flows and uniform random flows incl.
 far out-of-range coordinates — run ``--parity --cpu`` for interpret mode
 on CPU; on TPU the same check runs compiled.
+
+Measured flow statistics (30 SimuSFF folds at 1280^2, det-size crop):
+max |flow2| ~ 68 px either axis; worst per-8-row-block floor(y) range 121
+(the fold DISCONTINUITY pulls adjacent pixels from across the fold, so
+on-fold blocks need a ~130-row window while off-fold blocks need ~2).
+Consequences: serving bucket win=160 covers GT-scale flows (with an XLA
+cond fallback on overflow), and if on-fold blocks dominate the row loop
+(the --bench fold case measures this), the follow-up is used-row
+compaction: loop a host-precomputed per-block list of PRESENT source rows
+instead of the full [rmin, rmax] interval.
 """
 
 import argparse
