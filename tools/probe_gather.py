@@ -299,7 +299,7 @@ def bench(args):
 
     tbench(jax.jit(spatial_transform), im, flow,
            name="spatial_transform (XLA)")
-    for winb in (args.win or [32, 96]):
+    for winb in (args.win or [32, 160]):
         f = jax.jit(functools.partial(warp_band, win=winb))
         tbench(f, im, flow, name=f"warp_band win={winb}")
     # realistic fold flow at full scale (exercises the on-fold row ranges)
@@ -311,7 +311,7 @@ def bench(args):
             rng, det_size=h)
         fold.append(np.asarray(out["flow2"], np.float32)[:h, :w])
     foldf = jnp.asarray(np.stack(fold))
-    for winb in (args.win or [96]):
+    for winb in (args.win or [160]):
         f = jax.jit(functools.partial(warp_band, win=winb))
         tbench(f, im, foldf, name=f"warp_band fold win={winb}")
     return 0
