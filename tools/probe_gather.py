@@ -43,12 +43,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 BLOCK_ROWS = 8  # output rows per grid step (one f32 sublane tile)
 
 
-def _warp_band_call(imp, x0, x1, y0r, wx, wy, rbase, rcnt, win,
+def _warp_band_call(imp, x0, x1, y0r, wx, wy, rbase, intervals, win,
                     interpret=False):
     """Pallas call: imp (N, PHP, PW) f32 zero-padded image in HBM;
-    index/weight fields (N, H, PW); rbase/rcnt (N, H//8) int32 with rbase
-    8-aligned and [rbase, rbase+win) covering every source row the block
-    touches. Returns (N, H, PW) f32."""
+    index/weight fields (N, H, PW); rbase (N, H//8) int32, 8-aligned,
+    with [rbase, rbase+win) covering every source row the block touches;
+    intervals (N, H//8, 4) int32 = (aoff, acnt, boff, bcnt): one or two
+    DISJOINT window-relative row intervals to visit (the fold
+    discontinuity splits a block's source rows into two narrow bands —
+    visiting only those instead of [min, max] is the difference between
+    ~6 and ~130 row iterations on fold-crossing blocks).
+    Returns (N, H, PW) f32."""
     import jax
     import jax.numpy as jnp
     from jax import lax
@@ -59,7 +64,7 @@ def _warp_band_call(imp, x0, x1, y0r, wx, wy, rbase, rcnt, win,
     h = x0.shape[1]
     nblk = h // BLOCK_ROWS
 
-    def kernel(rbase_ref, rcnt_ref, imp_hbm, x0_ref, x1_ref, y0r_ref,
+    def kernel(rbase_ref, iv_ref, imp_hbm, x0_ref, x1_ref, y0r_ref,
                wx_ref, wy_ref, out_ref, scratch, sem):
         b = pl.program_id(0)
         rb = pl.multiple_of(rbase_ref[0, 0], 8)
@@ -82,18 +87,23 @@ def _warp_band_call(imp, x0, x1, y0r, wx, wy, rbase, rcnt, win,
             m1 = (y0r == r - 1).astype(jnp.float32)
             return acc + colmix * (m0 * wy + m1 * (1.0 - wy))
 
-        acc = lax.fori_loop(0, rcnt_ref[0, 0], body,
-                            jnp.zeros(x0v.shape, jnp.float32))
+        acc = jnp.zeros(x0v.shape, jnp.float32)
+        a0 = iv_ref[0, 0]
+        acc = lax.fori_loop(a0, a0 + iv_ref[0, 1], body, acc)
+        b0 = iv_ref[0, 2]
+        acc = lax.fori_loop(b0, b0 + iv_ref[0, 3], body, acc)
         out_ref[0] = acc
 
     blk = lambda b, i: (b, i, 0)  # noqa: E731
     vspec = pl.BlockSpec((1, BLOCK_ROWS, pw), blk, memory_space=pltpu.VMEM)
     sspec = pl.BlockSpec((1, 1), lambda b, i: (b, i),
                          memory_space=pltpu.SMEM)
+    ivspec = pl.BlockSpec((1, 4), lambda b, i: (b, i),
+                          memory_space=pltpu.SMEM)
     return pl.pallas_call(
         kernel,
         grid=(n, nblk),
-        in_specs=[sspec, sspec, pl.BlockSpec(memory_space=pltpu.HBM),
+        in_specs=[sspec, ivspec, pl.BlockSpec(memory_space=pltpu.HBM),
                   vspec, vspec, vspec, vspec, vspec],
         out_specs=vspec,
         out_shape=jax.ShapeDtypeStruct((n, h, pw), jnp.float32),
@@ -107,7 +117,7 @@ def _warp_band_call(imp, x0, x1, y0r, wx, wy, rbase, rcnt, win,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(rbase, rcnt, imp, x0, x1, y0r, wx, wy)
+    )(rbase, intervals.reshape(n, nblk * 4), imp, x0, x1, y0r, wx, wy)
 
 
 def warp_band(im, flow, win=None, interpret=False):
@@ -159,18 +169,43 @@ def warp_band(im, flow, win=None, interpret=False):
         win = php
     win = min(win, php)
     rbase = jnp.clip((rmin // 8) * 8, 0, php - win)
-    rcnt = jnp.clip(rmax - rbase + 1, 0, win).astype(jnp.int32)
+
+    # two-interval split (fold discontinuity): cluster each block's
+    # window-relative source rows around the midpoint, then visit only
+    # [minA, maxA+1] and [minB, maxB+1] (disjoint; merged when touching).
+    d = (y0cb - rbase[..., None, None]).astype(jnp.int32)
+    dmin = rmin - rbase
+    dmax = rmax - rbase  # includes the +1 rows via y1cb above
+    dmid = (dmin + dmax) // 2
+    big = jnp.int32(1 << 20)
+    mA = d <= dmid[..., None, None]
+    amin = jnp.min(jnp.where(mA, d, big), axis=(2, 3))
+    amax = jnp.max(jnp.where(mA, d, -big), axis=(2, 3)) + 1
+    bmin = jnp.min(jnp.where(mA, big, d), axis=(2, 3))
+    bmax = jnp.max(jnp.where(mA, -big, d), axis=(2, 3)) + 1
+    has_b = bmin < big
+    # merge when B touches A (or no B pixels)
+    merged = jnp.where(has_b & (bmin <= amax + 1), bmax, amax)
+    amax = jnp.where(has_b & (bmin <= amax + 1), jnp.maximum(amax, merged),
+                     amax)
+    has_b = has_b & (bmin > amax + 1)
+    aoff = jnp.clip(amin, 0, win)
+    acnt = jnp.clip(amax - aoff + 1, 0, win - aoff)
+    boff = jnp.where(has_b, jnp.clip(bmin, 0, win), 0)
+    bcnt = jnp.where(has_b, jnp.clip(bmax - boff + 1, 0, win - boff), 0)
+    intervals = jnp.stack([aoff, acnt, boff, bcnt], axis=-1).astype(
+        jnp.int32)
 
     pad_cols = [(0, 0), (0, 0), (0, pw - pw0)]
     x0cp = jnp.pad(x0c, pad_cols)
     x1cp = jnp.pad(x1c, pad_cols)
     y0rp = jnp.pad(y0c - jnp.repeat(rbase, BLOCK_ROWS, axis=1)[..., None],
-                   pad_cols, constant_values=-2)
+                   pad_cols, constant_values=-3)
     wxp = jnp.pad(wx, pad_cols)
     wyp = jnp.pad(wy, pad_cols)
 
     out = _warp_band_call(imp, x0cp, x1cp, y0rp, wxp, wyp,
-                          rbase.astype(jnp.int32), rcnt, int(win),
+                          rbase.astype(jnp.int32), intervals, int(win),
                           interpret=interpret)
     return out[:, :, :w, None]
 
