@@ -149,8 +149,14 @@ def _kernel(ty, hh, wqh, wqf, wq2f, c,
     nb = wqf // 2
 
     def dup(xb, lo):
-        d = jnp.broadcast_to(xb[:, lo:lo + nb, None, :],
-                             (rows, nb, 2, _LANES))
+        # NB: a None-mixed non-trivial slice (xb[:, lo:lo+nb, None, :])
+        # lowers to a 3-D lax.gather, which Mosaic rejects ("Only 2D
+        # gather is supported") — THIS was the r3 "pathological compile"
+        # (the failure is instant, not slow; the one r3 attempt coincided
+        # with the tunnel dying). slice_in_dim + expand_dims lower to
+        # slice + broadcast_in_dim, which Mosaic handles.
+        d = jnp.expand_dims(lax.slice_in_dim(xb, lo, lo + nb, axis=1), 2)
+        d = jnp.broadcast_to(d, (rows, nb, 2, _LANES))
         return d.reshape(rows, 2 * nb, _LANES)
 
     acc = cf_ref[0] * dup(z, 1)
