@@ -134,15 +134,10 @@ def main():
     from sstem_tpu.models.serving import (
         fusionnet_serve, ifnet_serve, unet_sff_serve)
 
-    # fused head tail A/B switch: read ONCE here (ADVICE r3 — never at
-    # trace time), published in the config block below
-    fused_tail = os.environ.get("SSTEM_FUSED_UPCONV", "0") == "1"
-
     def interp_stage(iv, prev_img, next_img):
         x = _gray6(_to01(prev_img), _to01(next_img))
         x, _ = pad_to_multiple(x, 32)
-        interp = ifnet_serve(
-            iv, x, fused_tail=fused_tail)[..., 0].astype(jnp.float32)
+        interp = ifnet_serve(iv, x)[..., 0].astype(jnp.float32)
         return jnp.clip(interp, 0.0, 1.0)
 
     def restore_stage(fv, uv, degraded, interp):
@@ -365,7 +360,7 @@ def main():
         "stage_attempt_sums_ms": attempt_sums,
         "config": {"batch": BATCH, "compiled_batch": COMPILED_BATCH,
                    "dtype": "bfloat16", "packed": True,
-                   "packed_conv_serving": True, "fused_tail": fused_tail},
+                   "packed_conv_serving": True},
         "train_step_throughput": train_tp,
         "tpu_checks": checks,
     }))

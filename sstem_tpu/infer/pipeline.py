@@ -58,17 +58,10 @@ class SFFPipeline:
                          # ~1.7x faster on TPU; see models/ifnet.py)
     packed_conv: Optional[bool] = None  # pixel-packed Pallas conv serving
         # for FusionNet/UNetSFF (models/serving.py); None = auto (TPU only)
-    fused_tail: Optional[bool] = None  # fused upsample+conv3 IFNet head
-        # tail (kernels/upconv3x3.py); None = read SSTEM_FUSED_UPCONV once
-        # HERE, at construction — never at trace time (ADVICE r3: the jit
-        # cache does not key on env vars)
 
     def __post_init__(self):
         if self.packed_conv is None:
             self.packed_conv = jax.default_backend() == "tpu"
-        if self.fused_tail is None:
-            import os
-            self.fused_tail = os.environ.get("SSTEM_FUSED_UPCONV", "0") == "1"
         if self.ngf != 32:
             self.packed_conv = False  # packed serving targets reference ngf
         self.interp_model = IFNet(kernel_size=self.kernel_size, n_frames=1,
@@ -83,8 +76,7 @@ class SFFPipeline:
             # (tools/ifnet_prefix_bench.py; PERFORMANCE.md)
             if self.packed_conv:
                 return ifnet_serve(variables, x,
-                                   kernel_size=self.kernel_size, n_frames=1,
-                                   fused_tail=self.fused_tail)
+                                   kernel_size=self.kernel_size, n_frames=1)
             return self.interp_model.apply(variables, x)
 
         def restore_fn(flow_v, fusion_v, inputs):

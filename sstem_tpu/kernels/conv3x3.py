@@ -263,155 +263,11 @@ def conv3x3_packed(xq, r, scale, shift, act=None, *, wq, residual=None,
     )(*args)
 
 
-def _chain_kernel(ty, n_row_tiles, wq, nstage, acts, res_from, res_at,
-                  res_pre, x_hbm, r_ref, sc_ref, sh_ref, out_ref, buf, sem):
-    """S convs in one pass: the input window carries 2*S halo rows and every
-    intermediate activation stays in VMEM (halo recompute instead of S HBM
-    round trips). First/last row tiles clamp-shift the DMA window by exactly
-    S rows; realignment + per-stage zeroing of out-of-image rows keeps
-    intermediate values identical to the sequential kernel's zero padding."""
-    n = pl.program_id(0)
-    t = pl.program_id(1)
-    rows0 = buf.shape[1]            # ty + 2*nstage
-    wq2 = buf.shape[2]
-    h = n_row_tiles * ty
-    nc = nstage
-
-    def dma_for(slot, tt):
-        start = tt * ty - nc
-        start = jnp.maximum(start, 0)
-        start = jnp.minimum(start, h - rows0)
-        return pltpu.make_async_copy(
-            x_hbm.at[n, pl.ds(start, rows0)], buf.at[slot], sem.at[slot])
-
-    @pl.when(t == 0)
-    def _first():
-        dma_for(0, 0).start()
-
-    @pl.when(t + 1 < n_row_tiles)
-    def _prefetch():
-        dma_for((t + 1) % 2, t + 1).start()
-
-    dma_for(t % 2, t).wait()
-    win = buf[t % 2]
-
-    zrows = jnp.zeros((nc,) + win.shape[1:], win.dtype)
-    top = jnp.concatenate([zrows, win[: rows0 - nc]], 0)
-    bottom = jnp.concatenate([win[nc:], zrows], 0)
-    win = jnp.where(t == 0, top, win)
-    win = jnp.where((t == n_row_tiles - 1) & (n_row_tiles > 1), bottom, win)
-
-    def stage(x, i, out_rows, res=None):
-        m = out_rows * wq2
-        xf = x.astype(jnp.float32)
-        acc = jnp.zeros((m, _LANES), jnp.float32)
-        for o in (-1, 0, 1):
-            shifted = x if o == 0 else (
-                pltpu.roll(xf, (-o) % wq2, 1).astype(x.dtype))
-            for dy in range(3):
-                lhs = shifted[dy:dy + out_rows].reshape(m, _LANES)
-                acc = acc + lax.dot_general(
-                    lhs, r_ref[i, dy, o + 1], (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
-        if res is not None and res_pre:
-            acc = acc + res.reshape(m, _LANES).astype(jnp.float32)
-        acc = acc * sc_ref[i] + sh_ref[i]
-        if res is not None and not res_pre:
-            acc = acc + res.reshape(m, _LANES).astype(jnp.float32)
-        if acts[i] == "relu":
-            acc = jnp.maximum(acc, 0.0)
-        elif acts[i] == "leaky":
-            acc = jnp.where(acc >= 0.0, acc, 0.2 * acc)
-        y = acc.reshape(out_rows, wq2, _LANES)
-        quad = lax.broadcasted_iota(jnp.int32, y.shape, 1)
-        riota = lax.broadcasted_iota(jnp.int32, y.shape, 0)
-        edge = nc - (i + 1)
-        y = jnp.where((quad == 0) | (quad > wq), 0.0, y)
-        # out-of-image rows of intermediate stages must read as conv
-        # zero-padding for the next stage
-        y = jnp.where((t == 0) & (riota < edge), 0.0, y)
-        y = jnp.where((t == n_row_tiles - 1) & (riota >= out_rows - edge),
-                      0.0, y)
-        return y.astype(x.dtype)
-
-    hcur = win
-    saved = None
-    for i in range(nstage):
-        out_rows = ty + 2 * (nc - 1 - i)
-        res = None
-        if res_at == i and saved is not None:
-            off = res_at - res_from
-            res = saved[off:off + out_rows]
-        hcur = stage(hcur, i, out_rows, res=res)
-        if res_from == i:
-            saved = hcur
-    out_ref[0] = hcur
-
-
-def conv3x3_chain(xq, rs, scales, shifts, acts, *, wq, residual_from=None,
-                  residual_at=None, residual_pre_affine=False,
-                  interpret=False):
-    """Fused S-conv chain on the packed layout (one read + one write).
-
-    Args:
-      xq: (N, H, Wq2, 128) packed bf16 input (pack_nhwc layout).
-      rs: (S, 3, 3, 128, 128) stacked packed weights.
-      scales, shifts: (S, 1, 128) per-stage affines.
-      acts: length-S tuple of None | 'relu' | 'leaky'.
-      residual_from/residual_at: optionally add stage `residual_from`'s
-        OUTPUT into stage `residual_at`'s epilogue (FusionNet CRC: conv_1's
-        output joins the conv_2 tail conv, post-affine, pre-activation).
-    Row tiles shrink with chain depth to bound VMEM; H must satisfy
-    H % ty == 0 and H >= ty + 2*S with >= 2 row tiles.
-    """
-    n, h, wq2, lanes = xq.shape
-    nstage = rs.shape[0]
-    assert lanes == _LANES
-    ty = 8 if (wq2 <= 384 or nstage > 4) else 4
-    # only the first/last tiles may clamp-shift (by exactly nstage rows);
-    # interior tiles must not, which requires ty >= nstage
-    assert ty >= nstage, (ty, nstage)
-    assert h % ty == 0 and h >= ty + 2 * nstage, (h, ty, nstage)
-    n_row_tiles = h // ty
-    assert n_row_tiles >= 2
-    res_from = -1 if residual_from is None else residual_from
-    res_at = -1 if residual_at is None else residual_at
-    kern = functools.partial(_chain_kernel, ty, n_row_tiles, wq, nstage,
-                             tuple(acts), res_from, res_at,
-                             residual_pre_affine)
-    return pl.pallas_call(
-        kern,
-        grid=(n, n_row_tiles),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec((nstage, 3, 3, _LANES, _LANES),
-                         lambda i, t: (0, 0, 0, 0, 0)),
-            pl.BlockSpec((nstage, 1, _LANES), lambda i, t: (0, 0, 0)),
-            pl.BlockSpec((nstage, 1, _LANES), lambda i, t: (0, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, ty, wq2, _LANES),
-                               lambda i, t: (i, t, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((n, h, wq2, _LANES), xq.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((2, ty + 2 * nstage, wq2, _LANES), xq.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=2 * n * h * wq2 * _LANES * _LANES * 9 * nstage,
-            bytes_accessed=2 * 2 * n * h * wq2 * _LANES,
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(xq, rs, scales, shifts)
-
-
-def stack_chain_args(convs):
-    """[(r, scale, shift), ...] -> stacked (rs, scales, shifts) for
-    conv3x3_chain."""
-    rs = jnp.stack([r for r, _, _ in convs])
-    scales = jnp.stack([s[None] for _, s, _ in convs])
-    shifts = jnp.stack([t[None] for _, _, t in convs])
-    return rs, scales, shifts
+# NB: a fused S-conv chain kernel (conv3x3_chain) lived here in r3;
+# it was measured on hardware as no better than sequential
+# conv3x3_packed calls in every regime this rig exposes and was
+# removed in r4 per VERDICT r3 item 6 (PERFORMANCE.md records the
+# A/B). git history: commit e2c79b2 and earlier.
 
 
 def conv3x3_fused(x, w, bias=None, bn_scale=None, bn_shift=None, act=None,

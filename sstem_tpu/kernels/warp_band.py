@@ -75,14 +75,18 @@ def _kernel(win, nlv, rbase_ref, iv_ref, imp_hbm, loc0_ref, q0_ref,
     y0r = [sl(y0r_ref, j) for j in range(nlv)]
 
     def body(r, acc):
-        row = scratch[pl.ds(r, 1), :]
+        # NB: pltpu.repeat, not jnp.broadcast_to — a replicated-sublane
+        # broadcast feeding tpu.dynamic_gather crashes this Mosaic
+        # ("vector.broadcast (1x128)->(8x128)" layout bug; probe_bcast
+        # r4 probes: repeat+gather compiles, broadcast+gather does not)
+        row8 = pltpu.repeat(scratch[pl.ds(r, 1), :], BLOCK_ROWS, axis=0)
         pieces = []
         for j in range(nlv):
             g0 = jnp.zeros((BLOCK_ROWS, 128), jnp.float32)
             g1 = jnp.zeros((BLOCK_ROWS, 128), jnp.float32)
             for v in range(max(0, j - KC), min(nlv, j + KC + 1)):
-                src = jnp.broadcast_to(row[:, 128 * v:128 * (v + 1)],
-                                       (BLOCK_ROWS, 128))
+                src = lax.slice_in_dim(row8, 128 * v, 128 * (v + 1),
+                                       axis=1)
                 gv0 = jnp.take_along_axis(src, loc0[j], axis=1)
                 gv1 = jnp.take_along_axis(src, loc1[j], axis=1)
                 g0 = g0 + jnp.where(q0[j] == v, gv0, 0.0)

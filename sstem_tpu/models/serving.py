@@ -363,7 +363,7 @@ def _upsample_module_xla(x, p, out_hw=None):
 
 
 def ifnet_serve(variables, x, kernel_size=51, n_frames=1, assume_gray=True,
-                interpret=False, fused_tail=False):
+                interpret=False):
     """Eval-mode IFNet forward: packed convs at full res (conv32 module)
     and half res (conv64 / upconv64 / upsamp64 / head conv0-2), the planar
     upsample + conv3 + Pallas sepconv tail of models/ifnet.py (packed=True)
@@ -432,11 +432,6 @@ def ifnet_serve(variables, x, kernel_size=51, n_frames=1, assume_gray=True,
     padded_i1 = jnp.transpose(padded_i1, (0, 3, 1, 2))
     padded_i2 = jnp.transpose(padded_i2, (0, 3, 1, 2))
 
-    # fused_tail is an explicit argument (ADVICE r3): under jit the choice
-    # is baked into the trace, and the jit cache keys on it like any other
-    # static Python value — callers (SFFPipeline) read the
-    # SSTEM_FUSED_UPCONV env once at construction, never at trace time.
-
     def head(hp):
         hq = featq
         for name in ("conv0", "conv1"):
@@ -446,29 +441,11 @@ def ifnet_serve(variables, x, kernel_size=51, n_frames=1, assume_gray=True,
         rr, ss, hh = _packed_conv_args(hp["conv2"]["Conv_0"], None, None, 64)
         hq = conv3x3_packed(hq, rr, ss, hh, "relu", wq=wq2x,
                             interpret=interpret)
-        if fused_tail:
-            # fused packed upsample+conv3 (kernels/upconv3x3.py): the
-            # full-res intermediate never touches HBM; in/out channels
-            # zero-padded 51 -> 64 reproduce the [..., :K] slice
-            from sstem_tpu.kernels.conv3x3 import (
-                build_packed_weights, fold_affine)
-            from sstem_tpu.kernels.upconv3x3 import (
-                build_upconv_coeffs, upconv3x3_packed)
-
-            k = kernel_size
-            w3 = hp["conv3"]["Conv_0"]["kernel"]
-            b3 = hp["conv3"]["Conv_0"]["bias"]
-            w64 = jnp.pad(w3, [(0, 0), (0, 0), (0, 64 - k), (0, 64 - k)])
-            b64 = jnp.pad(b3, [(0, 64 - k)])
-            r3 = build_packed_weights(w64.astype(_BF), 2)
-            sc3, sh3 = fold_affine(64, b64)
-            cf = build_upconv_coeffs(w // 2)
-            yq = upconv3x3_packed(hq, r3, sc3, sh3, cf,
-                                  wq_half=(w // 2) // 2,
-                                  interpret=interpret)
-            hmap_full = unpack_nhwc(yq, 64, w)[..., :k]
-            return jnp.transpose(hmap_full, (0, 3, 1, 2))
-        # planar tail: (N, K, H/2, W/2) -> upsample -> conv3 (NCHW)
+        # planar tail: (N, K, H/2, W/2) -> upsample -> conv3 (NCHW).
+        # A fused packed upsample+conv3 alternative (r3-r4
+        # kernels/upconv3x3.py) was hardware-A/B'd on 2026-08-18 and
+        # LOST: 16.43 vs 13.20 ms/section/head (PERFORMANCE.md round-4);
+        # it was deleted per VERDICT r3 item 6.
         hmap = unpack_nhwc(hq, 64, w // 2)[..., :kernel_size]
         hp_pl = jnp.transpose(hmap, (0, 3, 1, 2))
         w3 = hp["conv3"]["Conv_0"]["kernel"].astype(_BF)

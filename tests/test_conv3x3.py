@@ -97,51 +97,3 @@ def test_chained_packed_calls_keep_border():
     y = unpack_nhwc(yq, c, w)
     np.testing.assert_allclose(
         np.asarray(y, np.float32), np.asarray(y_ref), atol=0.1, rtol=0.1)
-
-
-def test_chain_matches_sequential():
-    """The fused S-conv chain is bit-exact vs S sequential packed calls
-    (same per-stage bf16 casts), including edge tiles and a mid-chain
-    residual (the FusionNet CRC pattern)."""
-    from sstem_tpu.kernels.conv3x3 import conv3x3_chain, stack_chain_args
-
-    c, n, h, w = 32, 2, 48, 128
-    p = 128 // c
-    rng = np.random.default_rng(5)
-
-    def mk(shape, s=1.0):
-        return jnp.asarray((rng.random(shape) - 0.5) * s, jnp.float32)
-
-    x = mk((n, h, w, c), 2.0)
-    xq = pack_nhwc(x.astype(jnp.bfloat16))
-    for nstage, res_cfg in ((2, None), (3, None), (5, (0, 3))):
-        convs = []
-        for i in range(nstage):
-            wk = mk((3, 3, c, c), 0.4)
-            b = mk((c,))
-            r = build_packed_weights(wk.astype(jnp.bfloat16), p)
-            sc, sh = fold_affine(c, b)
-            convs.append((r, sc, sh))
-        acts = ["leaky"] * nstage
-        if res_cfg:
-            acts[res_cfg[1]] = None
-
-        seq = xq
-        saved = None
-        for i, (r, sc, sh) in enumerate(convs):
-            res = saved if (res_cfg and i == res_cfg[1]) else None
-            seq = conv3x3_packed(seq, r, sc, sh, acts[i], wq=w // p,
-                                 residual=res, interpret=True)
-            if res_cfg and i == res_cfg[0]:
-                saved = seq
-
-        rs, scs, shs = stack_chain_args(convs)
-        chn = conv3x3_chain(
-            xq, rs, scs, shs, acts, wq=w // p,
-            residual_from=res_cfg[0] if res_cfg else None,
-            residual_at=res_cfg[1] if res_cfg else None,
-            interpret=True)
-        np.testing.assert_array_equal(
-            np.asarray(chn.astype(jnp.float32)),
-            np.asarray(seq.astype(jnp.float32)),
-            err_msg=f"nstage={nstage} res={res_cfg}")

@@ -146,34 +146,3 @@ def test_gray_pair_fold_exact():
     np.testing.assert_allclose(np.asarray(y2, np.float32),
                                np.asarray(y6, np.float32),
                                atol=0.02, rtol=0.05)
-
-
-def test_ifnet_serve_fused_upconv_tail_matches():
-    """fused_tail=True swaps the head tail for the fused packed
-    upsample+conv3 kernel (kernels/upconv3x3.py); outputs match the planar
-    tail at bf16 tolerance. The choice is an explicit argument (ADVICE r3),
-    not an env read at trace time."""
-    from sstem_tpu.models import IFNet
-    from sstem_tpu.models.serving import ifnet_serve
-
-    k = 11
-    model = IFNet(kernel_size=k, n_frames=1)
-    key = jax.random.PRNGKey(3)
-    variables = jax.jit(model.init)(key, jnp.zeros((1, 64, 64, 6),
-                                                   jnp.float32))
-    g = RNG.random((2, 1, 64, 64, 1))
-    x = jnp.asarray(np.concatenate(
-        [np.repeat(g[0], 3, -1), np.repeat(g[1], 3, -1)], -1), jnp.float32)
-    import sstem_tpu.config as cfg
-
-    cfg.set_compute_dtype("bfloat16")
-    try:
-        want = ifnet_serve(variables, x, kernel_size=k, interpret=True)
-        got = ifnet_serve(variables, x, kernel_size=k, interpret=True,
-                          fused_tail=True)
-    finally:
-        cfg.set_compute_dtype(None)
-    got = np.asarray(got, np.float32)
-    want = np.asarray(want, np.float32)
-    nrmse = float(np.sqrt(np.mean((got - want) ** 2)) / (want.std() + 1e-6))
-    assert nrmse < 0.03, f"NRMSE {nrmse:.4f}"

@@ -29,10 +29,6 @@ def main():
     parser.add_argument("--size", type=int, default=1280)
     parser.add_argument("--batch", type=int, default=4)
     parser.add_argument("--iters", type=int, default=6)
-    parser.add_argument("--fused-tail", action="store_true",
-                        help="also A/B the fused upsample+conv3 head tail "
-                             "(kernels/upconv3x3.py); opt-in because its "
-                             "Mosaic compile can be pathological")
     args = parser.parse_args()
 
     cfg.set_matmul_precision("default")
@@ -140,43 +136,11 @@ def main():
 
     bench(jax.jit(one_head), variables, featq, name="  1 head (full tail)")
 
-    if args.fused_tail:
-        # fused packed upsample+conv3 tail (the SSTEM_FUSED_UPCONV A/B):
-        # compile time is reported separately from run time so a
-        # pathological Mosaic compile shows up as data, not a hang
-        def one_head_fused(v, fq):
-            p = v["params"]["head2h"]
-            wq2x = (w // 2) // 2
-            hq = fq
-            for name in ("conv0", "conv1", "conv2"):
-                rr, ss, hh = sv._packed_conv_args(p[name]["Conv_0"], None,
-                                                  None, 64)
-                from sstem_tpu.kernels.conv3x3 import conv3x3_packed
-                hq = conv3x3_packed(hq, rr, ss, hh, "relu", wq=wq2x)
-            from sstem_tpu.kernels.conv3x3 import (
-                build_packed_weights, fold_affine)
-            from sstem_tpu.kernels.upconv3x3 import (
-                build_upconv_coeffs, upconv3x3_packed)
+    # (the fused upsample+conv3 head-tail A/B lived here in r3-r4;
+    # measured 2026-08-18: fused 16.43 vs planar 13.20 ms/section
+    # per head, ifnet_serve 89.8 vs 63.7 — deleted per VERDICT r3
+    # item 6, PERFORMANCE.md has the record)
 
-            w3 = p["conv3"]["Conv_0"]["kernel"]
-            b3 = p["conv3"]["Conv_0"]["bias"]
-            w64 = jnp.pad(w3, [(0, 0), (0, 0), (0, 64 - 51), (0, 64 - 51)])
-            b64 = jnp.pad(b3, [(0, 64 - 51)])
-            r3 = build_packed_weights(w64.astype(jnp.bfloat16), 2)
-            sc3, sh3 = fold_affine(64, b64)
-            cf = build_upconv_coeffs(w // 2)
-            yq = upconv3x3_packed(hq, r3, sc3, sh3, cf,
-                                  wq_half=(w // 2) // 2)
-            return unpack_nhwc(yq, 64, w)[..., :51]
-
-        fj = jax.jit(one_head_fused)
-        t0 = time.time()
-        fj(variables, featq).block_until_ready()
-        print("%-30s %7.1f s compile+first" % ("  1 head (fused tail)",
-                                               time.time() - t0), flush=True)
-        bench(fj, variables, featq, name="  1 head (fused tail)")
-        bench(jax.jit(lambda v, x: ifnet_serve(v, x, fused_tail=True)),
-              variables, x6, name="ifnet_serve (fused tail)")
 
     # head sub-pieces
     def head_convs(v, fq):

@@ -147,22 +147,6 @@ def run_checks():
     record("packed_maxpool_1280",
            jnp.max(jnp.abs(y.astype(jnp.float32) - ref)), 1e-2)
 
-    # fused head tail (kernels/upconv3x3.py) vs the planar tail, on
-    # hardware — only when the fused tail is enabled for serving, so the
-    # default gate never pays its (possibly pathological) Mosaic compile
-    if os.environ.get("SSTEM_FUSED_UPCONV", "0") == "1":
-        from sstem_tpu.models.serving import ifnet_serve
-
-        x = jnp.asarray(rng.random((1, 256, 256, 6)), jnp.float32)
-        vars51 = jax.jit(IFNet(51, 1).init)(
-            jax.random.PRNGKey(1), jnp.zeros((1, 64, 64, 6), jnp.float32))
-        a = jax.jit(lambda v, t: ifnet_serve(v, t))(vars51, x)
-        b = jax.jit(lambda v, t: ifnet_serve(v, t, fused_tail=True))(
-            vars51, x)
-        a = np.asarray(a, np.float32)
-        b = np.asarray(b, np.float32)
-        nrmse = float(np.sqrt(np.mean((a - b) ** 2)) / (a.std() + 1e-6))
-        record("ifnet_fused_tail_vs_planar_nrmse", nrmse, 3e-2)
 
     results["all_ok"] = all(
         v["ok"] for v in results.values() if isinstance(v, dict))
