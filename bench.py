@@ -129,7 +129,7 @@ def main():
     # from the host link; the CLI pipelines pull full images instead).
     from sstem_tpu.infer.pipeline import _gray6, _to01
     from sstem_tpu.infer.tiles import pad_to_multiple
-    from sstem_tpu.ops import spatial_transform
+    from sstem_tpu.kernels.warp_band import serving_warp
 
     from sstem_tpu.models.serving import (
         fusionnet_serve, ifnet_serve, unet_sff_serve)
@@ -147,7 +147,7 @@ def main():
             [_to01(degraded)[..., None],
              pad_to_multiple(interp[..., None], 32)[0]], axis=-1)
         flow = fusionnet_serve(fv, x2).astype(jnp.float32)
-        warped1 = spatial_transform(x2[..., 0:1], flow)
+        warped1 = serving_warp(x2[..., 0:1], flow)
         fused2 = jnp.concatenate([warped1, x2[..., 1:2]], axis=-1)
         pred = unet_sff_serve(uv, fused2)
         return pred.astype(jnp.float32), jnp.repeat(warped1, 3, -1)

@@ -28,6 +28,7 @@ from sstem_tpu.models.serving import (
     unet_sff_serve,
 )
 from sstem_tpu.ops import spatial_transform
+from sstem_tpu.kernels.warp_band import serving_warp
 from sstem_tpu.infer.tiles import pad_to_multiple
 
 
@@ -87,7 +88,10 @@ class SFFPipeline:
                 x2 = inputs[..., 0::3]  # [deg, interp]
                 flow = fusionnet_serve(flow_v, x2, output_nc=2,
                                        ngf=self.ngf).astype(jnp.float32)
-                warped1 = spatial_transform(inputs[..., 0:1], flow)
+                # banded Pallas warp (kernels/warp_band.py): 8.8 vs
+                # 21.8 ms/section measured; exactness-checked XLA
+                # fallback keeps arbitrary flows correct
+                warped1 = serving_warp(inputs[..., 0:1], flow)
                 fused2 = jnp.concatenate([warped1, inputs[..., 3:4]], -1)
                 pred = unet_sff_serve(fusion_v, fused2,
                                       out_channel=1).astype(jnp.float32)

@@ -267,3 +267,17 @@ def warp_band_or_xla(im, flow, win=DEFAULT_WIN, interpret=False):
 
     return lax.cond(exact, band,
                     lambda _: spatial_transform(im, flow), None)
+
+
+def serving_warp(im, flow, win=DEFAULT_WIN):
+    """The serving pipeline's warp: banded Pallas kernel (2.5x the XLA
+    corner-packed gather at the bench shape — 8.8 vs 21.8 ms/section,
+    PERFORMANCE.md round-4) with the exactness-checked XLA fallback;
+    plain spatial_transform off-TPU or at unsupported shapes. Safe for
+    arbitrary flows either way."""
+    from sstem_tpu.ops.warp import spatial_transform as _st
+
+    n, h, w, c = im.shape
+    if jax.default_backend() != "tpu" or h % BLOCK_ROWS or c != 1:
+        return _st(im, flow)
+    return warp_band_or_xla(im, flow, win=win)
