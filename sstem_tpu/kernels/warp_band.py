@@ -2,9 +2,8 @@
 
 The serving warp (`ops/warp.py::spatial_transform`, reference semantics
 ``image_warp_torch.py:97-113``) is a single corner-packed XLA gather that
-costs ~16 ms/section at the bench shape — bounded by the TPU gather path,
-not by traffic (~45 MB/section would be ~0.3 ms at measured HBM rates,
-PERFORMANCE.md). This kernel exploits two structural facts of SFF
+cost ~16-22 ms/section at the bench shape — bounded by the TPU gather
+path, not by traffic. This kernel exploits two structural facts of SFF
 unfolding flows (`simu_sff/flow_synthesis.py:20-87`):
 
 * displacements are bounded by the fold width (|flow| <= ~80 px << H),
@@ -16,27 +15,36 @@ unfolding flows (`simu_sff/flow_synthesis.py:20-87`):
 
 Design (per (batch, 8-row block) grid step):
 
-1. DMA the block's ``win`` source rows HBM->VMEM (dynamic 8-aligned row
+1. Compute the index/weight fields (floor/clip/fractions/vreg ids) from
+   the RAW flow block in VMEM — v1 materialized seven full-resolution
+   fields on the XLA side, and that prep dominated the kernel 3:1
+   (8.8 ms total vs ~2.5 in-kernel; PERFORMANCE.md round-4).
+2. DMA the block's ``win`` source rows HBM->VMEM (dynamic 8-aligned row
    base from SMEM, the sepconv halo idiom — `sepconv.py::_fwd_kernel`).
-2. Loop source rows r over the (at most two) SMEM row intervals. For
+3. Loop source rows r over the (at most two) SMEM row intervals. For
    each r: gather the row's columns at the block's x-coordinates and
    accumulate the bilinear mix masked by ``floor(y) == r``.
-3. The column gather is composed from single-vreg lane gathers: this
+4. The column gather is composed from single-vreg lane gathers: this
    Mosaic stack only compiles ``tpu.dynamic_gather`` on one (8, 128)
    vreg (wider lane gathers and all sublane gathers fail — probe_gather
    micro-probes), so the row is sliced into static 128-lane vregs and
    each output vreg j combines gathers from source vregs j-KC..j+KC with
    ``x >> 7 == v`` masks. KC=1 covers |flow_x| < 127 after clamping.
+   Gather sources must be ``pltpu.repeat``-materialized — a replicated-
+   sublane broadcast feeding the gather crashes this Mosaic.
 
-Exactness envelope (checked on the XLA side, cheap): every block's
-source-row span must fit ``win`` and every pixel's source column must
-lie within KC vregs of its own. GT-scale fold flows satisfy both;
-``warp_band_or_xla`` lax.switches to the XLA warp otherwise, so the
-composite is exact for ARBITRARY flows (tests cover far out-of-range).
+Exactness envelope (checked on the XLA side — two fused reductions over
+the flow, no full-res field materialization): every block's source-row
+span must fit ``win`` and every pixel's source column must lie within
+KC vregs of its own. GT-scale fold flows satisfy both;
+``warp_band_or_xla`` lax.cond-switches to the XLA warp otherwise, so
+the composite is exact for ARBITRARY flows (tests cover far
+out-of-range). Result matches spatial_transform to f32 rounding
+(<= ~2e-7 on unit-range images; the bilinear mix associates
+differently).
 
-Parity: bit-exact vs spatial_transform on fold/uniform/out-of-range/
-integer flows (tests/test_warp_band.py, interpret mode; hardware entry
-in tools/tpu_checks.py).
+Parity: tests/test_warp_band.py (interpret mode); hardware entry in
+tools/tpu_checks.py; serving integration via ``serving_warp``.
 """
 
 import functools
@@ -53,33 +61,78 @@ DEFAULT_WIN = 160  # covers measured GT fold row spans (<= 129 after
                    # 8-alignment; PERFORMANCE.md probe_gather stats)
 
 
-def _kernel(win, nlv, rbase_ref, iv_ref, imp_hbm, loc0_ref, q0_ref,
-            loc1_ref, q1_ref, y0r_ref, wx_ref, wy_ref, out_ref,
-            scratch, sem):
+def _kernel(win, nlv, pw0, ph, w, nblk, nb, rbase_ref, iv_ref, imp_hbm,
+            fx_ref, fy_ref, out_ref, scratch, sem):
     b = pl.program_id(0)
     i = pl.program_id(1)
-    rb = pl.multiple_of(rbase_ref[b, i], BLOCK_ROWS)
-    dma = pltpu.make_async_copy(
-        imp_hbm.at[b, pl.ds(rb, win), :], scratch, sem)
-    dma.start()
-    dma.wait()
 
-    # hoist the loop-invariant per-vreg fields out of the row loop
-    sl = lambda ref, j: ref[0][:, 128 * j:128 * (j + 1)]  # noqa: E731
-    loc0 = [sl(loc0_ref, j) for j in range(nlv)]
-    q0 = [sl(q0_ref, j) for j in range(nlv)]
-    loc1 = [sl(loc1_ref, j) for j in range(nlv)]
-    q1 = [sl(q1_ref, j) for j in range(nlv)]
-    wx = [sl(wx_ref, j) for j in range(nlv)]
-    wy = [sl(wy_ref, j) for j in range(nlv)]
-    y0r = [sl(y0r_ref, j) for j in range(nlv)]
+    # double-buffered window stream (the conv3x3.py idiom): block
+    # (b, i+1)'s rows are in flight while (b, i) computes — 640 small
+    # sequential DMAs otherwise stack their full latency
+    def dma_for(slot, bb, ii):
+        rb = pl.multiple_of(rbase_ref[bb, ii], BLOCK_ROWS)
+        return pltpu.make_async_copy(
+            imp_hbm.at[bb, pl.ds(rb, win), :], scratch.at[slot],
+            sem.at[slot])
+
+    flat = b * nblk + i
+    par = lax.rem(flat, 2)
+
+    @pl.when(flat == 0)
+    def _first():
+        dma_for(0, 0, 0).start()
+
+    @pl.when(flat + 1 < nb * nblk)
+    def _prefetch():
+        nx_b = jnp.where(i + 1 < nblk, b, b + 1)
+        nx_i = jnp.where(i + 1 < nblk, i + 1, 0)
+        dma_for(lax.rem(flat + 1, 2), nx_b, nx_i).start()
+
+    dma = dma_for(par, b, i)
+    rb = pl.multiple_of(rbase_ref[b, i], BLOCK_ROWS)
+
+    # ---- index/weight fields from the raw flow block (VPU, once) ----
+    pw = nlv * 128
+    lane = lax.broadcasted_iota(jnp.int32, (BLOCK_ROWS, pw), 1)
+    gxf = lane.astype(jnp.float32)
+    gyf = (lax.broadcasted_iota(jnp.int32, (BLOCK_ROWS, pw), 0)
+           + i * BLOCK_ROWS).astype(jnp.float32)
+    x = fx_ref[0] + gxf + 1.0
+    y = fy_ref[0] + gyf + 1.0
+    x0u = jnp.floor(x).astype(jnp.int32)
+    y0u = jnp.floor(y).astype(jnp.int32)
+    # reference clamp order (image_warp_torch.py:100-105): the +1 corner
+    # clips the UNclipped base
+    x1cv = jnp.clip(x0u + 1, 0, pw0 - 1)
+    y1cv = jnp.clip(y0u + 1, 0, ph - 1)
+    x0cv = jnp.clip(x0u, 0, pw0 - 1)
+    y0cv = jnp.clip(y0u, 0, ph - 1)
+    wxv = x1cv.astype(jnp.float32) - x
+    # y1c == y0c (row clamp collapse): the dy*ia + (1-dy)*ib mix
+    # collapses to one visit of that row — fold the whole weight into wy
+    wyv = jnp.where(y1cv == y0cv, 1.0,
+                    y1cv.astype(jnp.float32) - y)
+    invalid = lane >= w  # zero-padded flow lanes must never contribute
+    y0rv = jnp.where(invalid, -3, y0cv - rb)
+    q0v = jnp.where(invalid, -9, x0cv >> 7)
+    q1v = jnp.where(invalid, -9, x1cv >> 7)
+    loc0v = x0cv & 127
+    loc1v = x1cv & 127
+
+    sl = lambda a, j: lax.slice_in_dim(a, 128 * j, 128 * (j + 1), axis=1)
+    loc0 = [sl(loc0v, j) for j in range(nlv)]
+    q0 = [sl(q0v, j) for j in range(nlv)]
+    loc1 = [sl(loc1v, j) for j in range(nlv)]
+    q1 = [sl(q1v, j) for j in range(nlv)]
+    wx = [sl(wxv, j) for j in range(nlv)]
+    wy = [sl(wyv, j) for j in range(nlv)]
+    y0r = [sl(y0rv, j) for j in range(nlv)]
+
+    dma.wait()
+    cur = scratch.at[par]
 
     def body(r, acc):
-        # NB: pltpu.repeat, not jnp.broadcast_to — a replicated-sublane
-        # broadcast feeding tpu.dynamic_gather crashes this Mosaic
-        # ("vector.broadcast (1x128)->(8x128)" layout bug; probe_bcast
-        # r4 probes: repeat+gather compiles, broadcast+gather does not)
-        row8 = pltpu.repeat(scratch[pl.ds(r, 1), :], BLOCK_ROWS, axis=0)
+        row8 = pltpu.repeat(cur[pl.ds(r, 1), :], BLOCK_ROWS, axis=0)
         pieces = []
         for j in range(nlv):
             g0 = jnp.zeros((BLOCK_ROWS, 128), jnp.float32)
@@ -105,10 +158,10 @@ def _kernel(win, nlv, rbase_ref, iv_ref, imp_hbm, loc0_ref, q0_ref,
     out_ref[0] = acc
 
 
-def _band_call(imp, loc0, q0, loc1, q1, y0r, wx, wy, rbase, intervals,
-               win, interpret=False):
+def _band_call(imp, fx, fy, rbase, intervals, pw0, ph, w, win,
+               interpret=False):
     n, php, pw = imp.shape
-    h = loc0.shape[1]
+    h = fx.shape[1]
     nblk = h // BLOCK_ROWS
     nlv = pw // 128
 
@@ -122,28 +175,32 @@ def _band_call(imp, loc0, q0, loc1, q1, y0r, wx, wy, rbase, intervals,
         shape, lambda b, i: tuple(0 for _ in shape),
         memory_space=pltpu.SMEM)
     return pl.pallas_call(
-        functools.partial(_kernel, win, nlv),
+        functools.partial(_kernel, win, nlv, pw0, ph, w, nblk, n),
         grid=(n, nblk),
         in_specs=[smem_all((n, nblk)), smem_all((n, nblk, 4)),
                   pl.BlockSpec(memory_space=pltpu.ANY),
-                  vspec, vspec, vspec, vspec, vspec, vspec, vspec],
+                  vspec, vspec],
         out_specs=vspec,
         out_shape=jax.ShapeDtypeStruct((n, h, pw), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((win, pw), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, win, pw), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         cost_estimate=pl.CostEstimate(
             flops=30 * n * h * pw,
-            bytes_accessed=4 * n * (nblk * win * pw // 4 + 8 * h * pw),
+            bytes_accessed=4 * n * (nblk * win * pw // 4 + 3 * h * pw),
             transcendentals=0,
         ),
         interpret=interpret,
-    )(rbase, intervals, imp, loc0, q0, loc1, q1, y0r, wx, wy)
+    )(rbase, intervals, imp, fx, fy)
 
 
 def _prep(im, flow, win):
-    """XLA-side index/weight fields + the exactness predicate."""
+    """XLA side: padded image, padded flow planes, per-block row windows
+    + two-interval visit lists, and the exactness predicate. Everything
+    full-resolution here is either the (small) padded image or a fused
+    elementwise+reduction over the flow — no index/weight fields are
+    materialized (they were 3x the kernel's own cost in v1)."""
     n, h, w, _ = im.shape
     ph, pw0 = h + 2, w + 2
     pw = -(-pw0 // 128) * 128
@@ -157,17 +214,10 @@ def _prep(im, flow, win):
     y = flow[..., 1] + gy + 1.0
     x0u = jnp.floor(x).astype(jnp.int32)
     y0u = jnp.floor(y).astype(jnp.int32)
-    # reference clamp order (image_warp_torch.py:100-105): the +1 corner
-    # clips the UNclipped base
     x1c = jnp.clip(x0u + 1, 0, pw0 - 1)
     y1c = jnp.clip(y0u + 1, 0, ph - 1)
     x0c = jnp.clip(x0u, 0, pw0 - 1)
     y0c = jnp.clip(y0u, 0, ph - 1)
-    wx = x1c.astype(jnp.float32) - x
-    wy = y1c.astype(jnp.float32) - y
-    # y1c == y0c (row clamp collapse): the dy*ia + (1-dy)*ib mix collapses
-    # to one visit of that row — fold the whole weight into wy
-    wy = jnp.where(y1c == y0c, 1.0, wy)
 
     # per-(batch, block) 8-aligned source-row window
     y0cb = y0c.reshape(n, h // BLOCK_ROWS, BLOCK_ROWS, w)
@@ -181,10 +231,8 @@ def _prep(im, flow, win):
     # column space, which is also the scratch/vreg space the kernel
     # slices) within KC of the pixel's OUTPUT vreg
     jvreg = jnp.arange(w, dtype=jnp.int32)[None, None, :] // 128
-    q0 = x0c >> 7
-    q1 = x1c >> 7
-    cols_fit = jnp.all((jnp.abs(q0 - jvreg) <= KC)
-                       & (jnp.abs(q1 - jvreg) <= KC))
+    cols_fit = jnp.all((jnp.abs((x0c >> 7) - jvreg) <= KC)
+                       & (jnp.abs((x1c >> 7) - jvreg) <= KC))
 
     # two-interval row visiting (fold discontinuity): cluster each
     # block's window-relative rows around the midpoint, visit [minA,
@@ -211,19 +259,11 @@ def _prep(im, flow, win):
         jnp.int32)
 
     pad_cols = [(0, 0), (0, 0), (0, pw - w)]
-    fields = dict(
-        loc0=jnp.pad(x0c & 127, pad_cols),
-        q0=jnp.pad(q0, pad_cols, constant_values=-9),
-        loc1=jnp.pad(x1c & 127, pad_cols),
-        q1=jnp.pad(q1, pad_cols, constant_values=-9),
-        # -3 marks padding lanes: never equals a loop row r or r-1
-        y0r=jnp.pad(y0c - jnp.repeat(rbase, BLOCK_ROWS, axis=1)[..., None],
-                    pad_cols, constant_values=-3),
-        wx=jnp.pad(wx, pad_cols),
-        wy=jnp.pad(wy, pad_cols),
-    )
+    fx = jnp.pad(flow[..., 0], pad_cols)
+    fy = jnp.pad(flow[..., 1], pad_cols)
     exact = rows_fit & cols_fit
-    return imp, fields, rbase.astype(jnp.int32), intervals, exact, pw
+    return (imp, fx, fy, rbase.astype(jnp.int32), intervals, exact,
+            pw0, ph)
 
 
 def warp_band(im, flow, win=DEFAULT_WIN, interpret=False):
@@ -237,16 +277,15 @@ def warp_band(im, flow, win=DEFAULT_WIN, interpret=False):
     Returns:
       (out, exact): (N, H, W, 1) float32 and a scalar bool that is True
       iff the kernel's row-window + column-vreg envelope held (the
-      result is bit-exact vs spatial_transform exactly then; callers
-      wanting arbitrary flows use warp_band_or_xla).
+      result matches spatial_transform to f32 rounding exactly then;
+      callers wanting arbitrary flows use warp_band_or_xla).
     """
     n, h, w, c = im.shape
     assert c == 1, "banded warp is single-channel (serving layout)"
     assert h % BLOCK_ROWS == 0, "pad H to a multiple of 8 first"
-    imp, f, rbase, intervals, exact, pw = _prep(im, flow, win)
-    out = _band_call(imp, f["loc0"], f["q0"], f["loc1"], f["q1"],
-                     f["y0r"], f["wx"], f["wy"], rbase, intervals,
-                     win, interpret=interpret)
+    imp, fx, fy, rbase, intervals, exact, pw0, ph = _prep(im, flow, win)
+    out = _band_call(imp, fx, fy, rbase, intervals, pw0, ph, w, win,
+                     interpret=interpret)
     return out[:, :, :w, None], exact
 
 
@@ -257,12 +296,11 @@ def warp_band_or_xla(im, flow, win=DEFAULT_WIN, interpret=False):
     from sstem_tpu.ops.warp import spatial_transform
 
     n, h, w, c = im.shape
-    imp, f, rbase, intervals, exact, pw = _prep(im, flow, win)
+    imp, fx, fy, rbase, intervals, exact, pw0, ph = _prep(im, flow, win)
 
     def band(_):
-        out = _band_call(imp, f["loc0"], f["q0"], f["loc1"], f["q1"],
-                         f["y0r"], f["wx"], f["wy"], rbase, intervals,
-                         win, interpret=interpret)
+        out = _band_call(imp, fx, fy, rbase, intervals, pw0, ph, w, win,
+                         interpret=interpret)
         return out[:, :, :w, None]
 
     return lax.cond(exact, band,
@@ -270,11 +308,11 @@ def warp_band_or_xla(im, flow, win=DEFAULT_WIN, interpret=False):
 
 
 def serving_warp(im, flow, win=DEFAULT_WIN):
-    """The serving pipeline's warp: banded Pallas kernel (2.5x the XLA
-    corner-packed gather at the bench shape — 8.8 vs 21.8 ms/section,
-    PERFORMANCE.md round-4) with the exactness-checked XLA fallback;
-    plain spatial_transform off-TPU or at unsupported shapes. Safe for
-    arbitrary flows either way."""
+    """The serving pipeline's warp: banded Pallas kernel (vs the XLA
+    corner-packed gather at the bench shape — PERFORMANCE.md round-4)
+    with the exactness-checked XLA fallback; plain spatial_transform
+    off-TPU or at unsupported shapes. Safe for arbitrary flows either
+    way."""
     from sstem_tpu.ops.warp import spatial_transform as _st
 
     n, h, w, c = im.shape
