@@ -40,175 +40,12 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-BLOCK_ROWS = 8  # output rows per grid step (one f32 sublane tile)
-
-
-def _warp_band_call(imp, x0, x1, y0r, wx, wy, rbase, intervals, win,
-                    interpret=False):
-    """Pallas call: imp (N, PHP, PW) f32 zero-padded image in HBM;
-    index/weight fields (N, H, PW); rbase (N, H//8) int32, 8-aligned,
-    with [rbase, rbase+win) covering every source row the block touches;
-    intervals (N, H//8, 4) int32 = (aoff, acnt, boff, bcnt): one or two
-    DISJOINT window-relative row intervals to visit (the fold
-    discontinuity splits a block's source rows into two narrow bands —
-    visiting only those instead of [min, max] is the difference between
-    ~6 and ~130 row iterations on fold-crossing blocks).
-    Returns (N, H, PW) f32."""
-    import jax
-    import jax.numpy as jnp
-    from jax import lax
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    n, php, pw = imp.shape
-    h = x0.shape[1]
-    nblk = h // BLOCK_ROWS
-
-    def kernel(rbase_ref, iv_ref, imp_hbm, x0_ref, x1_ref, y0r_ref,
-               wx_ref, wy_ref, out_ref, scratch, sem):
-        b = pl.program_id(0)
-        rb = pl.multiple_of(rbase_ref[0, 0], 8)
-        dma = pltpu.make_async_copy(
-            imp_hbm.at[b, pl.ds(rb, win), :], scratch, sem)
-        dma.start()
-        dma.wait()
-        x0v = x0_ref[0]
-        x1v = x1_ref[0]
-        y0r = y0r_ref[0]
-        wx = wx_ref[0]
-        wy = wy_ref[0]
-
-        def body(r, acc):
-            rows = jnp.broadcast_to(scratch[pl.ds(r, 1), :], x0v.shape)
-            g0 = jnp.take_along_axis(rows, x0v, axis=1)
-            g1 = jnp.take_along_axis(rows, x1v, axis=1)
-            colmix = wx * g0 + (1.0 - wx) * g1
-            m0 = (y0r == r).astype(jnp.float32)
-            m1 = (y0r == r - 1).astype(jnp.float32)
-            return acc + colmix * (m0 * wy + m1 * (1.0 - wy))
-
-        acc = jnp.zeros(x0v.shape, jnp.float32)
-        a0 = iv_ref[0, 0]
-        acc = lax.fori_loop(a0, a0 + iv_ref[0, 1], body, acc)
-        b0 = iv_ref[0, 2]
-        acc = lax.fori_loop(b0, b0 + iv_ref[0, 3], body, acc)
-        out_ref[0] = acc
-
-    blk = lambda b, i: (b, i, 0)  # noqa: E731
-    vspec = pl.BlockSpec((1, BLOCK_ROWS, pw), blk, memory_space=pltpu.VMEM)
-    sspec = pl.BlockSpec((1, 1), lambda b, i: (b, i),
-                         memory_space=pltpu.SMEM)
-    ivspec = pl.BlockSpec((1, 4), lambda b, i: (b, i),
-                          memory_space=pltpu.SMEM)
-    return pl.pallas_call(
-        kernel,
-        grid=(n, nblk),
-        in_specs=[sspec, ivspec, pl.BlockSpec(memory_space=pltpu.HBM),
-                  vspec, vspec, vspec, vspec, vspec],
-        out_specs=vspec,
-        out_shape=jax.ShapeDtypeStruct((n, h, pw), jnp.float32),
-        scratch_shapes=[
-            pltpu.VMEM((win, pw), jnp.float32),
-            pltpu.SemaphoreType.DMA,
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=12 * n * h * pw,
-            bytes_accessed=4 * n * (php * pw + 7 * h * pw),
-            transcendentals=0,
-        ),
-        interpret=interpret,
-    )(rbase, intervals.reshape(n, nblk * 4), imp, x0, x1, y0r, wx, wy)
-
-
-def warp_band(im, flow, win=None, interpret=False):
-    """spatial_transform semantics via the banded Pallas gather.
-
-    im (N, H, W, 1) f32; flow (N, H, W, 2). ``win`` is the static VMEM row
-    window; None = full padded height (always exact; serving would bucket).
-    Exactness requires the per-block row range to fit in ``win`` after
-    8-alignment — guaranteed for win=None, asserted via clamp otherwise.
-    """
-    import jax.numpy as jnp
-
-    n, h, w, _ = im.shape
-    assert h % BLOCK_ROWS == 0, "pad H to a multiple of 8 first"
-    ph, pw0 = h + 2, w + 2
-    pw = -(-pw0 // 128) * 128
-    php = -(-ph // 8) * 8
-    imp = jnp.pad(im[..., 0].astype(jnp.float32),
-                  [(0, 0), (1, php - ph + 1), (1, pw - pw0 + 1)])
-
-    gx = jnp.arange(w, dtype=jnp.float32)[None, None, :]
-    gy = jnp.arange(h, dtype=jnp.float32)[None, :, None]
-    x = flow[..., 0] + gx + 1.0
-    y = flow[..., 1] + gy + 1.0
-    x0u = jnp.floor(x).astype(jnp.int32)
-    y0u = jnp.floor(y).astype(jnp.int32)
-    # reference clamp order (image_warp_torch.py:100-105): the +1 corner
-    # clips the UNclipped base. Gathering directly at the four clamped
-    # corners reproduces ops/warp.py's packed-table + substitution exactly.
-    x1c = jnp.clip(x0u + 1, 0, pw0 - 1)
-    y1c = jnp.clip(y0u + 1, 0, ph - 1)
-    x0c = jnp.clip(x0u, 0, pw0 - 1)
-    y0c = jnp.clip(y0u, 0, ph - 1)
-    wx = x1c.astype(jnp.float32) - x
-    wy = y1c.astype(jnp.float32) - y
-    # When both row corners clamp to the same row (y1c == y0c), the
-    # reference's dy*ia + (1-dy)*ib collapses to that row with weight 1;
-    # the banded accumulation visits the row once (mask y0r == r), so fold
-    # the full weight into wy there. Columns need no fix-up: x1c == x0c
-    # makes g0 == g1 and the wx mix is already exact.
-    wy = jnp.where(y1c == y0c, 1.0, wy)
-
-    # per-(batch, block) row window over y0c and y1c, 8-aligned base
-    y0cb = y0c.reshape(n, h // BLOCK_ROWS, BLOCK_ROWS, w)
-    y1cb = y1c.reshape(n, h // BLOCK_ROWS, BLOCK_ROWS, w)
-    rmin = jnp.min(y0cb, axis=(2, 3))
-    rmax = jnp.max(jnp.maximum(y0cb, y1cb), axis=(2, 3))
-    if win is None:
-        win = php
-    win = min(win, php)
-    rbase = jnp.clip((rmin // 8) * 8, 0, php - win)
-
-    # two-interval split (fold discontinuity): cluster each block's
-    # window-relative source rows around the midpoint, then visit only
-    # [minA, maxA+1] and [minB, maxB+1] (disjoint; merged when touching).
-    d = (y0cb - rbase[..., None, None]).astype(jnp.int32)
-    dmin = rmin - rbase
-    dmax = rmax - rbase  # includes the +1 rows via y1cb above
-    dmid = (dmin + dmax) // 2
-    big = jnp.int32(1 << 20)
-    mA = d <= dmid[..., None, None]
-    amin = jnp.min(jnp.where(mA, d, big), axis=(2, 3))
-    amax = jnp.max(jnp.where(mA, d, -big), axis=(2, 3)) + 1
-    bmin = jnp.min(jnp.where(mA, big, d), axis=(2, 3))
-    bmax = jnp.max(jnp.where(mA, -big, d), axis=(2, 3)) + 1
-    has_b = bmin < big
-    # merge when B touches A (or no B pixels)
-    merged = jnp.where(has_b & (bmin <= amax + 1), bmax, amax)
-    amax = jnp.where(has_b & (bmin <= amax + 1), jnp.maximum(amax, merged),
-                     amax)
-    has_b = has_b & (bmin > amax + 1)
-    aoff = jnp.clip(amin, 0, win)
-    acnt = jnp.clip(amax - aoff + 1, 0, win - aoff)
-    boff = jnp.where(has_b, jnp.clip(bmin, 0, win), 0)
-    bcnt = jnp.where(has_b, jnp.clip(bmax - boff + 1, 0, win - boff), 0)
-    intervals = jnp.stack([aoff, acnt, boff, bcnt], axis=-1).astype(
-        jnp.int32)
-
-    pad_cols = [(0, 0), (0, 0), (0, pw - pw0)]
-    x0cp = jnp.pad(x0c, pad_cols)
-    x1cp = jnp.pad(x1c, pad_cols)
-    y0rp = jnp.pad(y0c - jnp.repeat(rbase, BLOCK_ROWS, axis=1)[..., None],
-                   pad_cols, constant_values=-3)
-    wxp = jnp.pad(wx, pad_cols)
-    wyp = jnp.pad(wy, pad_cols)
-
-    out = _warp_band_call(imp, x0cp, x1cp, y0rp, wxp, wyp,
-                          rbase.astype(jnp.int32), intervals, int(win),
-                          interpret=interpret)
-    return out[:, :, :w, None]
-
+# The banded warp itself lives in sstem_tpu/kernels/warp_band.py since r4
+# (it landed in serving with a measured 2.5x win); this probe keeps the
+# micro-probes that established the Mosaic envelope (which dynamic-gather
+# shapes compile, dynamic-shift rolls) and drives the production kernel
+# for parity/bench so the numbers stay reproducible from one entry point.
+from sstem_tpu.kernels.warp_band import warp_band  # noqa: E402
 
 def parity(args):
     import numpy as np
@@ -245,7 +82,8 @@ def parity(args):
     ok = True
     for name, flow in cases.items():
         want = np.asarray(spatial_transform(im, flow))
-        got = np.asarray(warp_band(im, flow, interpret=args.interpret))
+        got = np.asarray(warp_band(
+            im, flow, interpret=args.interpret)[0])
         err = float(np.max(np.abs(got - want)))
         status = "OK " if err == 0.0 else ("ok~" if err < 1e-6 else "FAIL")
         ok &= err < 1e-6
@@ -335,7 +173,7 @@ def bench(args):
     tbench(jax.jit(spatial_transform), im, flow,
            name="spatial_transform (XLA)")
     for winb in (args.win or [32, 160]):
-        f = jax.jit(functools.partial(warp_band, win=winb))
+        f = jax.jit(lambda a, b, w=winb: warp_band(a, b, win=w)[0])
         tbench(f, im, flow, name=f"warp_band win={winb}")
     # realistic fold flow at full scale (exercises the on-fold row ranges)
     from sstem_tpu.data.sim_sff import degrade_sff
@@ -347,7 +185,7 @@ def bench(args):
         fold.append(np.asarray(out["flow2"], np.float32)[:h, :w])
     foldf = jnp.asarray(np.stack(fold))
     for winb in (args.win or [160]):
-        f = jax.jit(functools.partial(warp_band, win=winb))
+        f = jax.jit(lambda a, b, w=winb: warp_band(a, b, win=w)[0])
         tbench(f, im, foldf, name=f"warp_band fold win={winb}")
     return 0
 
