@@ -167,11 +167,12 @@ def main():
     stack_p = np.pad(stack, [(0, 0), (0, pad), (0, pad)], mode="edge")
     dev_stack = jnp.asarray(stack_p)
 
-    # batch sizes above 4 fall back to sub-launches of 4 (the measured
-    # sweet spot; batch 6 hits a slow HBM regime and batch 8 a compile
-    # blowup — PERFORMANCE.md batch sweep, VERDICT r2 item 7), so any
-    # BENCH_BATCH runs at >= the batch-4 rate
-    COMPILED_BATCH = min(BATCH, 4)
+    # batch sizes above the cap fall back to sub-launches (batch 4 was
+    # the r2 sweet spot; r4's repro_batch8 sweep found the old "batch-8
+    # compile blowup" gone after the warp rework — PERFORMANCE.md).
+    # BENCH_MAX_COMPILED overrides the cap for batch A/Bs.
+    COMPILED_BATCH = min(BATCH, int(os.environ.get("BENCH_MAX_COMPILED",
+                                                   "4")))
 
     def run(ids, b=COMPILED_BATCH):
         # sections processed b at a time; queue everything, then one device

@@ -191,7 +191,12 @@ def main():
           name="unet_sff_serve (2ch)")
 
     flow = jnp.asarray(rng.standard_normal((n, h, w, 2)), jnp.float32) * 3
-    bench(jax.jit(spatial_transform), x6[..., 0:1], flow, name="warp (1ch)")
+    bench(jax.jit(spatial_transform), x6[..., 0:1], flow,
+          name="warp XLA (1ch)")
+    from sstem_tpu.kernels.warp_band import serving_warp
+
+    bench(jax.jit(serving_warp), x6[..., 0:1], flow,
+          name="warp banded serving (1ch)")
 
 
 if __name__ == "__main__":
