@@ -174,10 +174,40 @@ def main():
     COMPILED_BATCH = min(BATCH, int(os.environ.get("BENCH_MAX_COMPILED",
                                                    "4")))
 
+    # Dispatch mode: 'scan' (default) runs ALL section groups in ONE jitted
+    # program — lax.map over (G, B) z-index groups, neighbor gather on
+    # device — so the host dispatches once per measurement instead of once
+    # per group. The per-group working set (the batch-B HBM sweet spot) is
+    # unchanged; only the per-launch Python/pytree dispatch overhead goes
+    # away. 'loop' preserves the r2/r3 per-group dispatch for A/B.
+    DISPATCH = os.environ.get("BENCH_DISPATCH", "scan")
+
+    def restore_groups(iv, fv, uv, st, idx):
+        # idx: (G, B) int32 damaged-section ids; one group at a time keeps
+        # the K=51 tap-map working set at the batch-B sweet spot
+        def one_group(ix):
+            return section_restore(iv, fv, uv, st[ix - 1], st[ix + 1],
+                                   st[ix])
+        return jax.lax.map(one_group, idx)
+
+    restore_groups_jit = jax.jit(restore_groups)
+
+    def _group_ids(ids, b):
+        grps = []
+        for s in range(0, len(ids), b):
+            grp = list(ids[s:s + b])
+            if len(grp) < b:
+                grp = list(ids[-b:])
+            grps.append(grp)
+        return np.asarray(grps, np.int32)
+
     def run(ids, b=COMPILED_BATCH):
-        # sections processed b at a time; queue everything, then one device
-        # sync (keeps the host link out of the measurement; on-device
-        # dependencies serialize the work)
+        if DISPATCH == "scan":
+            out = restore_groups_jit(interp_vars, flow_vars, fusion_vars,
+                                     dev_stack, _group_ids(ids, b))
+            return float(out.sum())
+        # per-group dispatch: queue everything, then one device sync
+        # (on-device dependencies serialize the work)
         outs = []
         for s in range(0, len(ids), b):
             grp = ids[s:s + b]
@@ -190,15 +220,68 @@ def main():
                                     prev, nxt, deg))
         return float(jnp.stack(outs).sum())
 
-    # warm thoroughly: compile + the shared pool's post-compile slow path
-    run(DAMAGED[:COMPILED_BATCH])
-    run(DAMAGED[:COMPILED_BATCH])
+    # compile-only mode: populate the persistent compile cache (headline +
+    # stage-table programs) WITHOUT timing executions, so a bench run can
+    # be staged while the chip is busy (e.g. behind a training run) and
+    # the real measurement later starts hot. Exits with a parseable line.
+    if os.environ.get("BENCH_COMPILE_ONLY", "0") == "1":
+        t0 = time.time()
+        compiled = []
+        for name, fn, args in [
+            ("restore_groups", restore_groups_jit,
+             (interp_vars, flow_vars, fusion_vars, dev_stack,
+              _group_ids(DAMAGED, COMPILED_BATCH))),
+            ("restore_loop", restore_jit,
+             (interp_vars, flow_vars, fusion_vars,
+              dev_stack[0:COMPILED_BATCH], dev_stack[2:COMPILED_BATCH + 2],
+              dev_stack[1:COMPILED_BATCH + 1])),
+            # stage-table programs (f32 inputs, separate HLO modules)
+            ("interp_stage", jax.jit(interp_stage),
+             (interp_vars, dev_stack[0:COMPILED_BATCH].astype(jnp.float32),
+              dev_stack[2:COMPILED_BATCH + 2].astype(jnp.float32))),
+            ("restore_stage", jax.jit(
+                lambda fv, uv, d, i: restore_stage(fv, uv, d, i)[0]),
+             (flow_vars, fusion_vars,
+              dev_stack[1:COMPILED_BATCH + 1].astype(jnp.float32),
+              jnp.zeros((COMPILED_BATCH, SECTION, SECTION), jnp.float32))),
+        ]:
+            t1 = time.time()
+            fn.lower(*args).compile()
+            compiled.append({"program": name,
+                             "compile_s": round(time.time() - t1, 1)})
+        print(json.dumps({"metric": "bench_compile_only",
+                          "programs": compiled,
+                          "total_s": round(time.time() - t0, 1)}))
+        return
+
+    # warm thoroughly: compile + the shared pool's post-compile slow path.
+    # In scan mode always warm with the FULL damaged set — a subset has a
+    # different (G, B) idx shape and would compile a second program.
+    warm_ids = DAMAGED if DISPATCH == "scan" else DAMAGED[:COMPILED_BATCH]
+    run(warm_ids)
+    run(warm_ids)
     run(DAMAGED)
     # best-of-3: the chip may be shared/preempted; report achievable rate
     dt = min(
         (lambda t0: (run(DAMAGED), time.time() - t0)[1])(time.time())
         for _ in range(3)
     )
+
+    # headline-only mode for dispatch/batch A/Bs: skip the stage table,
+    # train bench, and the tpu_checks subprocess (several minutes each)
+    if os.environ.get("BENCH_HEADLINE_ONLY", "0") == "1":
+        mpix = len(DAMAGED) * SECTION * SECTION / 1e6
+        mps = mpix / dt
+        print(json.dumps({
+            "metric": "sff_full_pipeline_throughput",
+            "value": round(mps, 3),
+            "unit": "MP/s/chip",
+            "vs_baseline": round(mps / REFERENCE_GPU_MPS, 3),
+            "ms_per_section": round(dt / len(DAMAGED) * 1e3, 1),
+            "config": {"batch": BATCH, "compiled_batch": COMPILED_BATCH,
+                       "dispatch": DISPATCH, "headline_only": True},
+        }))
+        return
 
     # stage attribution (published so vs_baseline is auditable per stage):
     # same discipline as the headline — warm past the post-compile slow
@@ -360,8 +443,8 @@ def main():
         "stage_sum_vs_headline": (None if ratio != ratio else round(ratio, 3)),
         "stage_attempt_sums_ms": attempt_sums,
         "config": {"batch": BATCH, "compiled_batch": COMPILED_BATCH,
-                   "dtype": "bfloat16", "packed": True,
-                   "packed_conv_serving": True},
+                   "dispatch": DISPATCH, "dtype": "bfloat16",
+                   "packed": True, "packed_conv_serving": True},
         "train_step_throughput": train_tp,
         "tpu_checks": checks,
     }))

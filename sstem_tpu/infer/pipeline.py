@@ -124,6 +124,34 @@ class SFFPipeline:
         self._restore_fn = jax.jit(restore_fn)
         self._section_fn = section_fn
 
+        def stack_fn(iv, fv, uv, stack_p, idx):
+            """One dispatch for the whole damaged set: ``lax.map`` over
+            (G, B) z-index groups, neighbor gather + per-section restore +
+            stitch + uint8 quantization all on device. Per-group working
+            set stays at the batch-B HBM sweet spot; the host pays ONE
+            pytree dispatch instead of G (measured ~5 ms/section at
+            1250^2, PERFORMANCE.md round 4)."""
+            def one_group(ix):
+                x3 = jnp.stack(
+                    [stack_p[ix - 1], stack_p[ix + 1], stack_p[ix]],
+                    axis=-1).astype(jnp.float32) / 255.0
+                out = section_fn(iv, fv, uv, x3)
+                interp, fused = out[..., 0], out[..., 1]
+                warped = jnp.clip(out[..., 2], 0.0, 1.0)
+                flow = out[..., 3:5]
+                w8 = jnp.floor(warped * 255.0)
+                m = (w8 >= 2).astype(jnp.float32)
+                stitch = jnp.floor(jnp.clip(interp, 0, 1) * 255.0) * (
+                    1 - m) + w8 * m
+                imgs = jnp.stack(
+                    [jnp.floor(jnp.clip(interp, 0, 1) * 255.0),
+                     jnp.floor(jnp.clip(fused, 0, 1) * 255.0),
+                     w8, stitch], axis=-1).astype(jnp.uint8)
+                return imgs, flow
+            return jax.lax.map(one_group, idx)
+
+        self._stack_fn = jax.jit(stack_fn)
+
     def interpolate(self, prev_imgs, next_imgs, clip=True):
         """Interpolate missing sections from gray uint8 neighbors (N, H, W).
 
@@ -203,6 +231,69 @@ class SFFPipeline:
             if len(ids) < chunk and s > 0:
                 ids = damaged_ids[len(damaged_ids) - chunk:]  # keep shape
             results.update(self._restore_ids(dev_stack, ids))
+        return results
+
+    def restore_stack_scanned(self, stack, damaged_ids, chunk=None,
+                              want_flow=True):
+        """Single-dispatch ``restore_stack``: the whole damaged set runs as
+        ONE jitted program (``lax.map`` over groups of ``chunk`` sections)
+        and images come back as device-quantized uint8 (4x less host
+        transfer than the f32 pulls of ``restore_stack``).
+
+        Semantics match ``restore_stack`` (same per-section composition;
+        the interp hand-off skips its x255/255 float round trip, so
+        individual pixels may differ by 1 uint8 where a value sits on a
+        quantization boundary — tests/test_infer.py pins <= 1). For
+        sections that are not 32-multiples there is additionally a
+        right/bottom border-band regime (like the sharded path's): the
+        loop path re-edge-pads the CROPPED interp for the restore stage,
+        while this path keeps the interp canvas (network values in the pad
+        band), so fused/stitch can deviate within the correction nets'
+        receptive field of the padded edges; interp itself matches
+        everywhere (identical edge-padded inputs). TEST.pad is not
+        supported here; use ``restore_stack``.
+
+        Returns {id: {'interp', 'fused', 'warped', 'stitch'[, 'flow']}}.
+        """
+        assert self.pad == 0, (
+            "restore_stack_scanned does not support TEST.pad != 0; use "
+            "restore_stack")
+        chunk = chunk or self.MAX_COMPILED_CHUNK
+        stack = np.asarray(stack)
+        z, h, w = stack.shape
+        hp = -(-h // 32) * 32
+        wp = -(-w // 32) * 32
+        # edge mode matches pad_to_multiple inside interpolate/restore —
+        # zero pad here would diverge over the models' receptive field at
+        # non-32-multiple section sizes
+        stack_p = np.pad(stack, [(0, 0), (0, hp - h), (0, wp - w)],
+                         mode="edge")
+        idx = []
+        for s in range(0, len(damaged_ids), chunk):
+            grp = list(damaged_ids[s:s + chunk])
+            if len(grp) < chunk:
+                grp = list(damaged_ids[-chunk:]) if len(
+                    damaged_ids) >= chunk else grp + [grp[-1]] * (
+                        chunk - len(grp))
+            idx.append(grp)
+        imgs, flow = self._stack_fn(
+            self.interp_vars, self.flow_vars, self.fusion_vars,
+            jnp.asarray(stack_p), jnp.asarray(np.asarray(idx, np.int32)))
+        imgs = np.asarray(imgs)[:, :, :h, :w]
+        results = {}
+        for g, grp in enumerate(idx):
+            for j, i in enumerate(grp):
+                if i in results:
+                    continue
+                results[i] = {
+                    "interp": imgs[g, j, ..., 0],
+                    "fused": imgs[g, j, ..., 1],
+                    "warped": imgs[g, j, ..., 2],
+                    "stitch": imgs[g, j, ..., 3],
+                }
+                if want_flow:
+                    results[i]["flow"] = np.asarray(
+                        flow[g, j, :h, :w, :])
         return results
 
     def restore_stack_sharded(self, stack, damaged_ids, mesh, halo=256,

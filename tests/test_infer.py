@@ -86,6 +86,41 @@ def test_sff_pipeline_restore_stack():
     assert r["flow"].shape == (96, 96, 2)
 
 
+def test_sff_pipeline_restore_stack_scanned_matches_loop():
+    """The single-dispatch lax.map path must match restore_stack to <= 1
+    uint8 (its interp hand-off skips the x255/255 float round trip) with
+    an odd-group tail (3 ids, chunk 2) exercising the pad-group dedup."""
+    pipe = _tiny_sff_pipeline()
+    stack = synth_stack(7, 96, 96, seed=3)
+    ids = [1, 3, 5]
+    ref = pipe.restore_stack(stack, ids, chunk=2)
+    out = pipe.restore_stack_scanned(stack, ids, chunk=2)
+    assert set(out) == set(ids)
+    for i in ids:
+        for k in ("interp", "fused", "warped", "stitch"):
+            a = out[i][k].astype(np.int32)
+            b = ref[i][k].astype(np.int32)
+            assert a.dtype == np.int32 and out[i][k].dtype == np.uint8
+            assert np.abs(a - b).max() <= 1, (i, k)
+        np.testing.assert_allclose(out[i]["flow"], ref[i]["flow"],
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_sff_pipeline_scanned_odd_size_interp_parity():
+    """At non-32-multiple sizes both paths edge-pad the interp INPUTS the
+    same way, so interp must still match <= 1 everywhere; fused/stitch
+    have a documented border-band regime there (pipeline.py docstring)."""
+    pipe = _tiny_sff_pipeline()
+    stack = synth_stack(5, 83, 101, seed=5)
+    ref = pipe.restore_stack(stack, [1, 3], chunk=2)
+    out = pipe.restore_stack_scanned(stack, [1, 3], chunk=2)
+    for i in (1, 3):
+        d = np.abs(out[i]["interp"].astype(np.int32)
+                   - ref[i]["interp"].astype(np.int32))
+        assert d.max() <= 1, (i, d.max())
+        assert out[i]["fused"].shape == (83, 101)
+
+
 def test_sp_pipeline_shapes():
     from sstem_tpu.infer.pipeline import SPPipeline
     from sstem_tpu.models import FusionNetSP, IFNet, UNetSP

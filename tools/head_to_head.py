@@ -619,11 +619,33 @@ def stage_score_torch(root):
     clean, _ = eval_stack()
     tz = np.load(os.path.join(root, "torch_eval.npz"))
     mark = _marker(root)
-    out = {"iters": mark.get("iters", ITERS)}
+    out = {"iters": mark.get("iters", ITERS), "side": "torch"}
     if mark.get("iters_fusion"):
         out["iters_fusion"] = mark["iters_fusion"]
     for key in ("interp", "fused", "stitch"):
         p, s = _score_vs_clean(clean, {i: tz[f"{key}_{i}"] for i in DAMAGED})
+        out[key] = {"psnr": round(p, 3), "ssim": round(s, 4)}
+    path = os.path.join(root, "control_scores.json")
+    json.dump(out, open(path, "w"), indent=1)
+    print(json.dumps(out))
+
+
+def stage_score_jax(root):
+    """Score ONLY the jax side of a run (jax-f32 keys of jax_eval.npz) —
+    the TPU-rate counterpart of ``score_torch`` for seed-perturbation
+    controls run with ``--stage jax --seed-offset N`` (a torch control
+    costs CPU-hours per seed; a jax control runs in minutes, so the
+    framework-side spread can be estimated at N >= 3 even when the
+    reference-side one cannot). Writes <root>/control_scores.json."""
+    clean, _ = eval_stack()
+    jz = np.load(os.path.join(root, "jax_eval.npz"))
+    mark = _marker(root)
+    out = {"iters": mark.get("iters", ITERS), "side": "jax"}
+    if mark.get("iters_fusion"):
+        out["iters_fusion"] = mark["iters_fusion"]
+    for key in ("interp", "fused", "stitch"):
+        p, s = _score_vs_clean(clean,
+                               {i: jz[f"f32_{key}_{i}"] for i in DAMAGED})
         out[key] = {"psnr": round(p, 3), "ssim": round(s, 4)}
     path = os.path.join(root, "control_scores.json")
     json.dump(out, open(path, "w"), indent=1)
@@ -725,7 +747,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", default="/tmp/sstem_h2h")
     ap.add_argument("--stage", required=True,
-                    choices=["prep", "torch", "jax", "report", "score_torch"])
+                    choices=["prep", "torch", "jax", "report", "score_torch",
+                             "score_jax"])
     ap.add_argument("--iters", type=int, default=ITERS)
     ap.add_argument("--iters-fusion", type=int, default=None,
                     help="override the FUSION stage horizon only (the "
@@ -752,6 +775,8 @@ def main():
         stage_jax(args.root, args.iters, args.iters_fusion)
     elif args.stage == "score_torch":
         stage_score_torch(args.root)
+    elif args.stage == "score_jax":
+        stage_score_jax(args.root)
     else:
         stage_report(args.root, args.out)
 

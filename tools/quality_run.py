@@ -228,8 +228,11 @@ def main():
     lines = [
         "# SCORES — self-trained synthetic SFF restoration quality",
         "",
-        f"Full chain trained through the real CLIs ({args.iters} iters per"
-        f" stage, K=51, ngf=32, patch {args.patch}^2, batch {args.batch})"
+        f"Full chain trained through the real CLIs (interp {args.iters} /"
+        f" unfolding {args.iters_unfold or args.iters} /"
+        f" fusion {args.iters_fusion or args.iters} iters"
+        f"{', device-datagen' if args.device_datagen else ''},"
+        f" K=51, ngf=32, patch {args.patch}^2, batch {args.batch})"
         f" on {args.triplets} synthetic {args.img_size}^2 triplets;"
         f" restoration of 3 SimuSFF-degraded {hw}^2 sections of a fresh"
         " synthetic stack. Metrics: reference-exact compute_psnr /"

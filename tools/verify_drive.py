@@ -18,6 +18,15 @@ def main():
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/sstem_tpu_jax_cache")
 
+    # Parity cross-checks run at f32 matmul precision: at the default
+    # (bf16 MXU) precision, RANDOM-init K=51 kernel heads produce O(100)
+    # pre-clip magnitudes, and ~1e-2 relative reassociation noise between
+    # differently-fused programs flips clipped uint8 pixels wholesale —
+    # that's numerics of untrained saturation, not a kernel bug (trained
+    # weights hold <= 0.03 dB at bf16, SCORES.md).
+    import sstem_tpu.config as _cfg
+    _cfg.set_matmul_precision("highest")
+
     from sstem_tpu.data.synthetic import synth_stack
     from sstem_tpu.infer.pipeline import SFFPipeline
     from sstem_tpu.kernels.sepconv import set_sepconv_impl
@@ -25,10 +34,36 @@ def main():
 
     key = jax.random.PRNGKey(0)
     x6 = jnp.zeros((1, 64, 64, 6), jnp.float32)
-    iv = jax.jit(IFNet(51, 1).init)(key, x6)
-    fv = jax.jit(lambda k, x: FusionNet(output_nc=2).init(k, x, train=True))(
-        key, x6)
-    uv = jax.jit(lambda k, x: UNetSFF(1).init(k, x, train=True))(key, x6)
+
+    # Trained weights when available (meaningful outputs in [0, 1] make
+    # the uint8 cross-checks strict); random init otherwise, where the
+    # K=51 interp head saturates (pre-clip magnitudes O(100); any
+    # reassociation between differently-factored/fused programs flips
+    # clipped pixels) — the interp threshold is relaxed there and fused
+    # (all-zero through the final ReLU at random init) is near-vacuous.
+    ckpt_root = os.environ.get("VERIFY_CKPT_ROOT", "/tmp/sstem_quality")
+    trained = False
+    try:
+        import glob as _glob
+        import json as _json
+        mark = _json.load(open(os.path.join(ckpt_root, "stage.json")))
+        if all(k in mark for k in ("interp_save", "unfold_save",
+                                   "fusion_save")):
+            from sstem_tpu.cli._ckpt import load_model_variables
+            iv = load_model_variables(mark["interp_save"], "ifnet_sff")
+            fv = load_model_variables(mark["unfold_save"], "fusionnet")
+            uv = load_model_variables(mark["fusion_save"], "unet_sff")
+            trained = True
+            print(f"using trained ckpts from {ckpt_root}", flush=True)
+    except Exception as e:
+        print(f"no trained ckpts ({type(e).__name__}); random init",
+              flush=True)
+    if not trained:
+        iv = jax.jit(IFNet(51, 1).init)(key, x6)
+        fv = jax.jit(lambda k, x: FusionNet(output_nc=2).init(
+            k, x, train=True))(key, x6)
+        uv = jax.jit(lambda k, x: UNetSFF(1).init(k, x, train=True))(key, x6)
+    interp_tol = 1e-3 if trained else 5e-2
 
     stack = synth_stack(5, 251, 179, seed=0)
     outs = {}
@@ -45,7 +80,27 @@ def main():
             frac = float((np.abs(a - b) > 1).mean())
             print(f"section {sid} {k}: max uint8 delta {d} "
                   f"(frac>1: {frac:.2e})", flush=True)
-            if frac > 1e-3:
+            if frac > (interp_tol if k == "interp" else 1e-3):
+                bad += 1
+
+    # scanned single-dispatch path vs per-group dispatch (odd tail group)
+    set_sepconv_impl("pallas")
+    pipe = SFFPipeline(interp_vars=iv, flow_vars=fv, fusion_vars=uv)
+    ref = pipe.restore_stack(stack, [1, 2, 3], chunk=2)
+    scn = pipe.restore_stack_scanned(stack, [1, 2, 3], chunk=2)
+    for sid in (1, 2, 3):
+        for k in ("interp", "fused", "warped", "stitch"):
+            d = np.abs(scn[sid][k].astype(np.int16)
+                       - ref[sid][k].astype(np.int16))
+            print(f"scanned vs loop section {sid} {k}: max delta "
+                  f"{int(d.max())} (frac>1: {(d > 1).mean():.2e})",
+                  flush=True)
+            # interp: reassociation between the two programs flips
+            # saturated pixels at random init; fused/stitch additionally
+            # have the odd-size border-band regime (pipeline docstring)
+            tol = interp_tol if k == "interp" else (
+                1e-2 if trained else 2e-2)
+            if (d > 1).mean() > tol:
                 bad += 1
 
     # SP pipeline: packed serving vs flax path on TPU
