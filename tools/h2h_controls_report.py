@@ -148,22 +148,31 @@ def main():
         worst = {}
         for key, side, r in unresolved:
             worst.setdefault(key, []).append(side)
+
+        def _favor(key):
+            d = jax_psnr[key] - torch_psnr[key]
+            return (f"{key} ({d:+.2f} dB, "
+                    + ("in this framework's favor"
+                       if d > 0 else "in the reference's favor") + ")")
+
+        adverse = [k for k in worst if jax_psnr[k] - torch_psnr[k] < 0]
         lines += [
             "",
             "**Unresolved deltas** (outside the measured spread of "
             + ", ".join(sorted({s for _, s, _ in unresolved}))
-            + " controls): "
-            + "; ".join(
-                f"{key} ({jax_psnr[key] - torch_psnr[key]:+.2f} dB, in "
-                "this framework's favor)" for key in worst)
+            + " controls): " + "; ".join(_favor(k) for k in worst)
             + ". These are NOT claimed as noise: at this reduced horizon "
             "the affected stage(s) are far from converged (both sides "
             "score below their own interp stage) and the spread estimates "
             "are small-N. Until a converged-horizon H2H is affordable on "
             "this rig (a torch control costs CPU-hours per seed on one "
-            "host core), the <= 0.1 dB parity gate rests on the adverse "
-            "direction only — no adverse delta exceeds spread — plus the "
-            "step-level trajectory parity tests "
+            "host core), the <= 0.1 dB parity gate rests on "
+            + ("the favorable direction of every out-of-spread delta"
+               if not adverse else
+               "NO unconditional direction claim — "
+               + ", ".join(adverse) + " is out of spread in the "
+               "reference's favor and needs a root cause")
+            + ", plus the step-level trajectory parity tests "
             "(tests/test_training_parity.py).",
         ]
 
