@@ -159,7 +159,10 @@ def main():
         cfg_f = write_cfg(
             "q_fusion",
             {"output_nc": 1, "total_iters": it_f, "decay_iters": it_f,
-             "valid_freq": it_f, "save_freq": it_f,
+             # periodic saves: a long fusion horizon interrupted by a rig
+             # outage (or a session deadline) still leaves an evaluable
+             # checkpoint at the last 4k boundary
+             "valid_freq": it_f, "save_freq": min(4000, it_f),
              "flownet_path": stage["unfold_save"],
              "flownet_id": os.path.basename(sorted(flow_ckpts)[-1])},
             {"patch_size": [args.img_size, args.img_size],
