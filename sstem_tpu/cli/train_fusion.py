@@ -143,6 +143,11 @@ def main(argv=None):
                         help="run fold synthesis + the frozen-flow warp + "
                              "labels inside the jitted train step (host "
                              "streams raw crops only)")
+    parser.add_argument("--resume-from", type=str, default=None,
+                        help="save dir of a PREVIOUS run to continue from "
+                             "(cross-run resume: picks its latest "
+                             "model-*.ckpt; new checkpoints go to this "
+                             "run's own timestamped dir)")
     args = parser.parse_args(argv)
 
     cfg = load_sff_config(args.cfg, args.config_dir)
@@ -197,13 +202,32 @@ def main(argv=None):
                               batch_stats=variables["batch_stats"])
 
     start_iter = 0
-    if tr.resume:
-        ck = restore_checkpoint(paths["save_path"], tr.get("model_id"))
+    resume_dir = args.resume_from or (paths["save_path"] if tr.resume
+                                      else None)
+    if resume_dir:
+        ck = restore_checkpoint(resume_dir,
+                                None if args.resume_from
+                                else tr.get("model_id"))
         if ck is not None:
             mw = ck["model_weights"]
             state = state.replace(params=mw["params"],
                                   batch_stats=mw.get("batch_stats"))
             start_iter = int(ck["current_iter"])
+            if "optimizer_weights" in ck:
+                # Orbax returns nested dicts; re-hang the leaves on the
+                # live optax tree (leaf order is deterministic both ways;
+                # a structural mismatch throws rather than corrupting).
+                try:
+                    treedef = jax.tree.structure(state.opt_state)
+                    leaves = jax.tree.leaves(ck["optimizer_weights"])
+                    state = state.replace(
+                        opt_state=jax.tree.unflatten(treedef, leaves))
+                except Exception:  # pragma: no cover - diagnostic path
+                    logger.warning("optimizer state in checkpoint did not "
+                                   "match; Adam moments restart")
+            else:
+                logger.info("resumed at iter %d without optimizer state "
+                            "(Adam moments restart)", start_iter)
 
     if args.device_datagen:
         # Degradation RNG keys off the iteration index: resume at
@@ -246,6 +270,7 @@ def main(argv=None):
         preview_fn=None if args.device_datagen else preview_fn,
         writer=writer, logger=logger,
         start_iter=start_iter, schedule=schedule,
+        save_optimizer=True,
     )
     provider.close()
 

@@ -174,6 +174,14 @@ def main():
                  str(args.iters_fusion or args.iters)]
         if args.device_datagen:
             fargs.append("--device-datagen")
+        # An interrupted fusion stage leaves 4k-boundary checkpoints in a
+        # previous timestamped save dir; continue from the newest one.
+        prior = [d for d in sorted(glob.glob(
+            os.path.join(models, "*_q_fusion")))
+            if glob.glob(os.path.join(d, "model-*.ckpt"))]
+        if prior:
+            fargs += ["--resume-from", prior[-1]]
+            print(f"resuming fusion stage from {prior[-1]}", flush=True)
         train_fusion.main(fargs)
         done("fusion_save", _latest_dir(models))
 
