@@ -127,7 +127,7 @@ def main():
     # One fused jit per section batch: interp -> flow -> warp -> fusion ->
     # stitch, reduced to a checksum on device (bench isolates chip compute
     # from the host link; the CLI pipelines pull full images instead).
-    from sstem_tpu.infer.pipeline import _gray6, _to01
+    from sstem_tpu.infer.pipeline import _to01
     from sstem_tpu.infer.tiles import pad_to_multiple
     from sstem_tpu.kernels.warp_band import serving_warp
 
@@ -135,7 +135,10 @@ def main():
         fusionnet_serve, ifnet_serve, unet_sff_serve)
 
     def interp_stage(iv, prev_img, next_img):
-        x = _gray6(_to01(prev_img), _to01(next_img))
+        # 2-channel gray pair: conv32's first conv is pair-folded inside
+        # ifnet_serve (exact), so the f32 6-channel glue tensor never
+        # exists (PERFORMANCE.md round-4 glue cut)
+        x = jnp.stack([_to01(prev_img), _to01(next_img)], axis=-1)
         x, _ = pad_to_multiple(x, 32)
         interp = ifnet_serve(iv, x)[..., 0].astype(jnp.float32)
         return jnp.clip(interp, 0.0, 1.0)
@@ -150,12 +153,12 @@ def main():
         warped1 = serving_warp(x2[..., 0:1], flow)
         fused2 = jnp.concatenate([warped1, x2[..., 1:2]], axis=-1)
         pred = unet_sff_serve(uv, fused2)
-        return pred.astype(jnp.float32), jnp.repeat(warped1, 3, -1)
+        return pred.astype(jnp.float32), warped1  # warped is gray: 1ch
 
     def section_restore(iv, fv, uv, prev_img, next_img, degraded):
         interp = interp_stage(iv, prev_img, next_img)
         pred, warped = restore_stage(fv, uv, degraded, interp)
-        w8 = jnp.floor(jnp.clip(jnp.mean(warped, -1), 0, 1) * 255.0)
+        w8 = jnp.floor(jnp.clip(warped[..., 0], 0, 1) * 255.0)
         m = (w8 >= 2).astype(jnp.float32)
         stitch = interp * 255.0 * (1 - m) + w8 * m
         return jnp.sum(pred) + jnp.sum(stitch)

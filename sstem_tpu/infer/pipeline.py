@@ -84,19 +84,21 @@ class SFFPipeline:
             if self.packed_conv:
                 # replicated-gray channels fold into 2-channel inputs
                 # (serving.fold_gray_pair_conv — exact), skipping the
-                # 6-channel f32 glue tensors
-                x2 = inputs[..., 0::3]  # [deg, interp]
+                # 6-channel f32 glue tensors; inputs may already BE the
+                # 2-channel [deg, interp] pair (fused section path)
+                x2 = inputs if inputs.shape[-1] == 2 else inputs[..., 0::3]
                 flow = fusionnet_serve(flow_v, x2, output_nc=2,
                                        ngf=self.ngf).astype(jnp.float32)
                 # banded Pallas warp (kernels/warp_band.py): 8.8 vs
                 # 21.8 ms/section measured; exactness-checked XLA
                 # fallback keeps arbitrary flows correct
-                warped1 = serving_warp(inputs[..., 0:1], flow)
-                fused2 = jnp.concatenate([warped1, inputs[..., 3:4]], -1)
+                warped1 = serving_warp(x2[..., 0:1], flow)
+                fused2 = jnp.concatenate([warped1, x2[..., 1:2]], -1)
                 pred = unet_sff_serve(fusion_v, fused2,
                                       out_channel=1).astype(jnp.float32)
-                warped = jnp.repeat(warped1, 3, axis=-1)
-                return pred, flow, warped
+                # warped stays single-channel (it is gray); consumers
+                # reduce with mean(-1), for which 1ch == replicated 3ch
+                return pred, flow, warped1
             flow = self.flow_model.apply(flow_v, inputs, train=False)
             # the degraded channels are gray replicated x3 — warp once
             warped1 = spatial_transform(inputs[..., 0:1], flow)
@@ -111,11 +113,19 @@ class SFFPipeline:
             stack (N, H, W, 3) in 0..1 -> (N, H, W, 5):
             [interp, fused, warped, flow_y, flow_x]. Spatially local and
             shape-preserving, so it can be row-sharded by spatial_apply."""
-            interp = jnp.clip(
-                interp_fn(iv, _gray6(x3[..., 0], x3[..., 1]))[..., 0],
-                0.0, 1.0)
-            x6 = _gray6(x3[..., 2], interp)
-            pred, flow, warped = restore_fn(fv, uv, x6)
+            if self.packed_conv:
+                # 2-channel end-to-end: no replicated-gray f32 glue
+                # tensors between the stages (exact weight folds inside
+                # ifnet_serve / fusionnet_serve)
+                interp = jnp.clip(interp_fn(iv, x3[..., 0:2])[..., 0],
+                                  0.0, 1.0)
+                xr = jnp.stack([x3[..., 2], interp], axis=-1)
+            else:
+                interp = jnp.clip(
+                    interp_fn(iv, _gray6(x3[..., 0], x3[..., 1]))[..., 0],
+                    0.0, 1.0)
+                xr = _gray6(x3[..., 2], interp)
+            pred, flow, warped = restore_fn(fv, uv, xr)
             warped_g = jnp.mean(warped, axis=-1)
             return jnp.concatenate(
                 [interp[..., None], pred, warped_g[..., None], flow], -1)
@@ -157,7 +167,10 @@ class SFFPipeline:
 
         clip=False reproduces the reference interp inference, which casts
         (pred*255) to uint8 without clipping (inference.py:89)."""
-        x = _gray6(_to01(prev_imgs), _to01(next_imgs))
+        if self.packed_conv:  # gray-pair fold (exact), no 6ch glue
+            x = jnp.stack([_to01(prev_imgs), _to01(next_imgs)], axis=-1)
+        else:
+            x = _gray6(_to01(prev_imgs), _to01(next_imgs))
         if self.pad:
             p = self.pad
             x = jnp.pad(x, [(0, 0), (p, p), (p, p), (0, 0)])

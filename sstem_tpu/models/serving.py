@@ -370,15 +370,27 @@ def ifnet_serve(variables, x, kernel_size=51, n_frames=1, assume_gray=True,
     unchanged. Matches IFNet.apply at bf16 tolerance.
 
     Reference: sff_scripts_interp/model/model_interp.py:55-107 (SFF) and
-    sp_scripts_train/networks.py:68-129 (SP 2-frame)."""
+    sp_scripts_train/networks.py:68-129 (SP 2-frame).
+
+    ``x`` may be the reference 6-channel replicated-gray pair OR the
+    2-channel gray pair directly: conv32's first conv is pair-folded
+    (fold_gray_pair_conv, exact on replicated inputs), which drops the
+    f32 6-channel glue tensor between the uint8 stack and the packed
+    trunk (PERFORMANCE.md round-4 glue cut)."""
     from sstem_tpu.config import matmul_precision
     from sstem_tpu.kernels import sepconv_planar
     from sstem_tpu.ops import replication_pad_2d, upsample2x_planar_mxu
 
     p = variables["params"]
     n, h, w, _ = x.shape
-    i1 = x[..., 0:3]
-    i2 = x[..., 3:6]
+    if x.shape[-1] == 2:
+        assert assume_gray, "2-channel input implies gray frames"
+        p = _with_folded_first_conv(p, ("conv32", "conv0", "Conv_0"))
+        i1 = x[..., 0:1]
+        i2 = x[..., 1:2]
+    else:
+        i1 = x[..., 0:3]
+        i2 = x[..., 3:6]
     wq1, wq2x = w // 4, (w // 2) // 2
 
     from sstem_tpu.kernels.pool import pool2x_packed
@@ -425,7 +437,7 @@ def ifnet_serve(variables, x, kernel_size=51, n_frames=1, assume_gray=True,
     # ---- kernel heads (conv0-2 packed; planar upsample+conv3+sepconv) ----
     pad = kernel_size // 2
     if assume_gray:
-        i1 = i1[..., 0:1]
+        i1 = i1[..., 0:1]  # no-op for the 2-channel input
         i2 = i2[..., 0:1]
     padded_i1 = replication_pad_2d(i1, pad).astype(_BF)
     padded_i2 = replication_pad_2d(i2, pad).astype(_BF)
