@@ -32,6 +32,19 @@ from sstem_tpu.kernels.warp_band import serving_warp
 from sstem_tpu.infer.tiles import pad_to_multiple
 
 
+def _check_interior(damaged_ids, z):
+    """Damaged sections need both z-neighbors: the eager path's stack[i-1]
+    would silently wrap id 0 to the LAST section while the scanned path's
+    traced ix-1 clamps to 0 — divergent, both wrong. Reject boundary ids in
+    one place instead (ADVICE r4)."""
+    bad = [int(i) for i in damaged_ids if not 0 < int(i) < z - 1]
+    if bad:
+        raise ValueError(
+            f"damaged_ids {bad} lack a z-neighbor in a {z}-section stack; "
+            "interp needs sections k-1 and k+1 (pad the stack or drop the "
+            "boundary sections)")
+
+
 def _to01(img):
     return jnp.asarray(img, jnp.float32) / 255.0
 
@@ -223,6 +236,7 @@ class SFFPipeline:
         disable the cap). Returns {id: {'interp', 'fused', 'stitch', ...}}
         with numpy uint8 images.
         """
+        _check_interior(damaged_ids, len(stack))
         cap = (self.MAX_COMPILED_CHUNK if max_compiled_chunk is None
                else max_compiled_chunk)
         if cap and chunk > cap:
@@ -274,6 +288,7 @@ class SFFPipeline:
         chunk = chunk or self.MAX_COMPILED_CHUNK
         stack = np.asarray(stack)
         z, h, w = stack.shape
+        _check_interior(damaged_ids, z)
         hp = -(-h // 32) * 32
         wp = -(-w // 32) * 32
         # edge mode matches pad_to_multiple inside interpolate/restore —
@@ -342,6 +357,7 @@ class SFFPipeline:
         """
         from sstem_tpu.parallel.spatial import spatial_apply
 
+        _check_interior(damaged_ids, len(stack))
         # cfg.TEST.pad is applied by restore_stack's interpolate/restore
         # path; the sharded canvas path does not replicate it
         assert self.pad == 0, (

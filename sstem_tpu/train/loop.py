@@ -105,7 +105,9 @@ def run_training(*, provider, train_step, state, total_iters,
             if writer is not None:
                 writer.add_scalar(name, score, iters)
 
-        if iters % save_freq == 0:
+        # always checkpoint the final iteration, even off the save_freq
+        # grid (e.g. total 10000 with 4k-boundary saves; ADVICE r4)
+        if iters % save_freq == 0 or iters == total_iters:
             save_checkpoint(
                 save_path, iters, state.params,
                 batch_stats=state.batch_stats if batch_stats_in_ckpt else None,

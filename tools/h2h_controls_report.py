@@ -33,13 +33,21 @@ KEYS = ("interp", "fused", "stitch")
 
 
 def load_scores(root, expect_side=None):
-    path = os.path.join(root, "control_scores.json")
-    if not os.path.exists(path):
-        return None
-    s = json.load(open(path))
-    if expect_side and s.get("side", expect_side) != expect_side:
-        return None
-    return s
+    """Load a control root's scores — side-specific files first
+    (control_scores_{torch,jax}.json; ADVICE r4), legacy name as fallback
+    so pre-round-5 artifacts keep working."""
+    names = ([f"control_scores_{expect_side}.json"] if expect_side
+             else ["control_scores_torch.json", "control_scores_jax.json"])
+    names.append("control_scores.json")
+    for name in names:
+        path = os.path.join(root, name)
+        if not os.path.exists(path):
+            continue
+        s = json.load(open(path))
+        if expect_side and s.get("side", expect_side) != expect_side:
+            continue
+        return s
+    return None
 
 
 def _load_roots(roots, side):

@@ -625,7 +625,9 @@ def stage_score_torch(root):
     for key in ("interp", "fused", "stitch"):
         p, s = _score_vs_clean(clean, {i: tz[f"{key}_{i}"] for i in DAMAGED})
         out[key] = {"psnr": round(p, 3), "ssim": round(s, 4)}
-    path = os.path.join(root, "control_scores.json")
+    # side-specific filename: one root can hold both sides' control scores
+    # without the jax pass clobbering the torch one (ADVICE r4)
+    path = os.path.join(root, "control_scores_torch.json")
     json.dump(out, open(path, "w"), indent=1)
     print(json.dumps(out))
 
@@ -647,7 +649,7 @@ def stage_score_jax(root):
         p, s = _score_vs_clean(clean,
                                {i: jz[f"f32_{key}_{i}"] for i in DAMAGED})
         out[key] = {"psnr": round(p, 3), "ssim": round(s, 4)}
-    path = os.path.join(root, "control_scores.json")
+    path = os.path.join(root, "control_scores_jax.json")
     json.dump(out, open(path, "w"), indent=1)
     print(json.dumps(out))
 
