@@ -30,16 +30,17 @@ from sstem_tpu.train.trainer import TrainState, make_optimizer, make_train_step
 
 
 def compose_forward(flow_model, flow_vars, unet, unet_vars, inputs,
-                    train=False, mutable=False, flow_train_mode=None):
+                    train=False, mutable=False, flow_train_mode=False):
     """Frozen flow -> warp degraded channels -> fusion U-Net.
 
-    flow_train_mode: the reference never calls .eval() on the frozen flow net
-    in the trainer, so its BatchNorms normalize with *batch* statistics there
-    (torch still does that under no_grad); inference uses eval mode. Defaults
-    to following ``train``.
+    flow_train_mode: the reference freezes the flow net in EVAL mode in the
+    trainer (``model_flow.eval()``, sff_scripts_fusion/main_fusion.py:189),
+    so its BatchNorms use running statistics during fusion training exactly
+    as they do at inference. Defaults to False (eval mode) to match; True
+    reproduces the round<=4 behavior (batch statistics while training),
+    which skewed the U-Net's training-time warp distribution away from the
+    serving-time one (diagnosed in tools/diagnose_fusion.py, round 5).
     """
-    if flow_train_mode is None:
-        flow_train_mode = train
     if flow_train_mode:
         flow, _ = flow_model.apply(flow_vars, inputs, train=True,
                                    mutable=["batch_stats"])
@@ -84,15 +85,11 @@ def build(cfg, flow_vars, data_parallel=True):
     return unet, flow_model, opt, train_step, jax.jit(eval_fn), schedule, mesh
 
 
-def make_fusion_devgen_step(cfg, flow_vars, opt, mesh, flow_model, unet,
-                            det_size):
-    """Fusion train step with ON-DEVICE datagen: fold synthesis + warp of
-    the clean crop, the frozen-flow warp and the U-Net all inside one jit
-    (train/device_datagen.py pattern; replaces the reference's CPU-worker
-    degradation, sff_scripts_fusion/data/data_provider.py:163-185 — note
-    the fusion variant's narrower line_width 5..20)."""
+def make_fusion_devgen_loss(cfg, flow_vars, flow_model, unet, det_size):
+    """Fusion devgen loss core — fold synthesis + frozen-flow warp + U-Net
+    on a (clean, interp, step_idx) raw-crop batch; shared by the streaming
+    and HBM-pool step variants."""
     from sstem_tpu.data.sim_sff import degrade_sff_batch_jax
-    from sstem_tpu.train.trainer import make_train_step
 
     seed = int(cfg.TRAIN.random_seed or 0)
 
@@ -116,6 +113,20 @@ def make_fusion_devgen_step(cfg, flow_vars, opt, mesh, flow_model, unet,
         target = (clean[:, sl, sl].astype(jnp.float32) / 255.0)[..., None]
         return losses.l1_loss(pred, target), ({}, mut["batch_stats"])
 
+    return loss_fn
+
+
+def make_fusion_devgen_step(cfg, flow_vars, opt, mesh, flow_model, unet,
+                            det_size):
+    """Fusion train step with ON-DEVICE datagen: fold synthesis + warp of
+    the clean crop, the frozen-flow warp and the U-Net all inside one jit
+    (train/device_datagen.py pattern; replaces the reference's CPU-worker
+    degradation, sff_scripts_fusion/data/data_provider.py:163-185 — note
+    the fusion variant's narrower line_width 5..20)."""
+    from sstem_tpu.train.trainer import make_train_step
+
+    loss_fn = make_fusion_devgen_loss(cfg, flow_vars, flow_model, unet,
+                                      det_size)
     return make_train_step(loss_fn, opt, has_batch_stats=True, mesh=mesh)
 
 
@@ -164,17 +175,33 @@ def main(argv=None):
         cfg, flow_vars
     )
 
+    pool = None
     if args.device_datagen:
         from sstem_tpu.data.providers import RawCropPairDataset
+        from sstem_tpu.train.device_datagen import make_pool_step
 
         ds = RawCropPairDataset(
             cfg.DATA.folder_name, cfg.DATA.train_txt,
             cfg.DATA.interp_train_txt, crop_size=cfg.DATA.patch_size[0],
             aug=aug_from_cfg(cfg.DATA),
         )
-        raw_step = make_fusion_devgen_step(
-            cfg, flow_vars, opt, mesh, flow_model, unet,
-            det_size=cfg.DATA.get("det_size", 256))
+        # HBM-resident crop pool when possible (single device, uniform
+        # image sizes): host streams only the step counter
+        if mesh is None:
+            pool = ds.load_pool()
+        if pool is not None:
+            logger.info("device-datagen: HBM pool %s (%.0f MB)",
+                        pool.shape, pool.nbytes / 1e6)
+            raw_step = make_pool_step(
+                make_fusion_devgen_loss(cfg, flow_vars, flow_model, unet,
+                                        det_size=cfg.DATA.get("det_size",
+                                                              256)),
+                opt, pool, tr.batch_size, cfg.DATA.patch_size[0],
+                seed=int(tr.random_seed or 0))
+        else:
+            raw_step = make_fusion_devgen_step(
+                cfg, flow_vars, opt, mesh, flow_model, unet,
+                det_size=cfg.DATA.get("det_size", 256))
     else:
         ds = FusionTrainDataset(
             cfg.DATA.folder_name, cfg.DATA.train_txt,
@@ -184,7 +211,8 @@ def main(argv=None):
             gt_line=cfg.DATA.get("gt_line", False),
             aug=aug_from_cfg(cfg.DATA),
         )
-    provider = Provider(ds, tr.batch_size, seed=tr.random_seed)
+    provider = (None if pool is not None
+                else Provider(ds, tr.batch_size, seed=tr.random_seed))
     valid_ds = None
     if tr.if_valid and cfg.DATA.get("valid_txt"):
         try:
@@ -214,14 +242,18 @@ def main(argv=None):
                                   batch_stats=mw.get("batch_stats"))
             start_iter = int(ck["current_iter"])
             if "optimizer_weights" in ck:
-                # Orbax returns nested dicts; re-hang the leaves on the
-                # live optax tree (leaf order is deterministic both ways;
-                # a structural mismatch throws rather than corrupting).
+                # Restore the optimizer state BY STRUCTURE: re-read the
+                # checkpoint with the live optax tree as the orbax target,
+                # so every moment lands on its named field (a flat-order
+                # rehang could silently misassign equal-leaf-count states;
+                # ADVICE r4).
                 try:
-                    treedef = jax.tree.structure(state.opt_state)
-                    leaves = jax.tree.leaves(ck["optimizer_weights"])
+                    template = dict(ck)
+                    template["optimizer_weights"] = state.opt_state
+                    ck2 = restore_checkpoint(resume_dir, start_iter,
+                                             template=template)
                     state = state.replace(
-                        opt_state=jax.tree.unflatten(treedef, leaves))
+                        opt_state=ck2["optimizer_weights"])
                 except Exception:  # pragma: no cover - diagnostic path
                     logger.warning("optimizer state in checkpoint did not "
                                    "match; Adam moments restart")
@@ -229,7 +261,12 @@ def main(argv=None):
                 logger.info("resumed at iter %d without optimizer state "
                             "(Adam moments restart)", start_iter)
 
-    if args.device_datagen:
+    if args.device_datagen and pool is not None:
+        from sstem_tpu.train.device_datagen import CounterProvider
+
+        provider = CounterProvider(start_iter)
+        train_step = raw_step  # noqa: F811 - batch IS the step counter
+    elif args.device_datagen:
         # Degradation RNG keys off the iteration index: resume at
         # start_iter continues the synthetic stream instead of replaying
         # it from step 1, and the local counter is never shared across

@@ -77,6 +77,12 @@ def main(argv=None):
     parser.add_argument("--vgg-weights", type=str, default=None)
     parser.add_argument("--max-iters", type=int, default=None,
                         help="override cfg.TRAIN.total_iters")
+    parser.add_argument("--device-datagen", action="store_true",
+                        help="sample triplet crops from an HBM-resident "
+                             "pool inside the jitted step (host streams "
+                             "only the step counter); falls back to host "
+                             "streaming when unsupported augs are enabled "
+                             "or under a dp mesh")
     args = parser.parse_args(argv)
 
     cfg = load_sff_config(args.cfg, args.config_dir)
@@ -90,11 +96,34 @@ def main(argv=None):
         cfg, args.vgg_weights
     )
 
+    aug = aug_from_cfg(cfg.DATA)
     ds = InterpTrainDataset(
         cfg.DATA.folder_name, cfg.DATA.train_txt,
-        patch_size=tuple(cfg.DATA.patch_size), aug=aug_from_cfg(cfg.DATA),
+        patch_size=tuple(cfg.DATA.patch_size), aug=aug,
     )
-    provider = Provider(ds, tr.batch_size, seed=tr.random_seed)
+    pool = None
+    if args.device_datagen:
+        # the pool path implements crop + dihedral (+ optional frame swap)
+        # on device; pixel-level augs stay on the host streaming path
+        unsupported = (aug.color_jitter or aug.gauss_noise
+                       or aug.elastic_trans)
+        if mesh is None and not unsupported:
+            pool = ds.load_pool()
+        if pool is None:
+            logger.warning("--device-datagen: falling back to host "
+                           "streaming (dp mesh, pixel augs, or "
+                           "non-uniform pool)")
+        else:
+            logger.info("device-datagen: HBM pool %s (%.0f MB)",
+                        pool.shape, pool.nbytes / 1e6)
+            from sstem_tpu.train.device_datagen import make_pool_interp_step
+
+            train_step = make_pool_interp_step(
+                model, opt, pool, tr.batch_size,
+                tuple(cfg.DATA.patch_size)[0], frame_swap=aug.swap,
+                seed=int(tr.random_seed or 0))
+    provider = (None if pool is not None
+                else Provider(ds, tr.batch_size, seed=tr.random_seed))
     valid_ds = (
         InterpValidDataset(cfg.DATA.folder_name, cfg.DATA.valid_txt)
         if tr.if_valid else None
@@ -113,6 +142,11 @@ def main(argv=None):
         if ck is not None:
             state = state.replace(params=ck["model_weights"]["params"])
             start_iter = int(ck["current_iter"])
+
+    if pool is not None:
+        from sstem_tpu.train.device_datagen import CounterProvider
+
+        provider = CounterProvider(start_iter)
 
     def valid_fn(st, iters):
         if valid_ds is None:
@@ -140,7 +174,8 @@ def main(argv=None):
         display_freq=tr.display_freq, valid_freq=tr.valid_freq,
         save_freq=tr.save_freq,
         valid_fn=valid_fn if tr.if_valid else None,
-        preview_fn=preview_fn, writer=writer, logger=logger,
+        preview_fn=None if pool is not None else preview_fn,
+        writer=writer, logger=logger,
         start_iter=start_iter, schedule=schedule,
         batch_stats_in_ckpt=False,
     )

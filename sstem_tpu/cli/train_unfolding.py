@@ -73,19 +73,39 @@ def main(argv=None):
     model, opt, train_step, eval_fn, schedule, mesh = build(cfg)
 
     det = cfg.DATA.get("det_size", 256)
+    pool = None
     if args.device_datagen:
         from sstem_tpu.data.providers import RawCropPairDataset
-        from sstem_tpu.train.device_datagen import make_device_datagen_step
+        from sstem_tpu.train.device_datagen import (
+            make_device_datagen_loss, make_device_datagen_step,
+            make_pool_step,
+        )
 
         ds = RawCropPairDataset(
             cfg.DATA.folder_name, cfg.DATA.train_txt,
             cfg.DATA.interp_train_txt, crop_size=cfg.DATA.patch_size[0],
             aug=aug_from_cfg(cfg.DATA),
         )
-        raw_step = make_device_datagen_step(
-            model, opt, mesh=mesh, det_size=det,
-            seed=int(tr.random_seed or 0),
-        )
+        # HBM-resident pool: crop sampling joins the datagen inside the
+        # jit and the host streams only a step counter (the host-side
+        # crop+transfer path measures ~6x the device step time at b16 on
+        # the tunneled rig). Falls back to host streaming under a dp mesh
+        # or a non-uniform/oversized image set.
+        if mesh is None:
+            pool = ds.load_pool()
+        if pool is not None:
+            logger.info("device-datagen: HBM pool %s (%.0f MB)",
+                        pool.shape, pool.nbytes / 1e6)
+            raw_step = make_pool_step(
+                make_device_datagen_loss(model, det_size=det,
+                                         seed=int(tr.random_seed or 0)),
+                opt, pool, tr.batch_size, cfg.DATA.patch_size[0],
+                seed=int(tr.random_seed or 0))
+        else:
+            raw_step = make_device_datagen_step(
+                model, opt, mesh=mesh, det_size=det,
+                seed=int(tr.random_seed or 0),
+            )
     else:
         ds = UnfoldingTrainDataset(
             cfg.DATA.folder_name, cfg.DATA.train_txt,
@@ -95,7 +115,8 @@ def main(argv=None):
             line_width_range=(5, 50), gt_line=cfg.DATA.get("gt_line", False),
             aug=aug_from_cfg(cfg.DATA),
         )
-    provider = Provider(ds, tr.batch_size, seed=tr.random_seed)
+    provider = (None if pool is not None
+                else Provider(ds, tr.batch_size, seed=tr.random_seed))
     valid_ds = None
     if tr.if_valid and cfg.DATA.get("valid_txt"):
         try:
@@ -120,7 +141,12 @@ def main(argv=None):
                                   batch_stats=mw.get("batch_stats"))
             start_iter = int(ck["current_iter"])
 
-    if args.device_datagen:
+    if args.device_datagen and pool is not None:
+        from sstem_tpu.train.device_datagen import CounterProvider
+
+        provider = CounterProvider(start_iter)
+        train_step = raw_step  # noqa: F811 - batch IS the step counter
+    elif args.device_datagen:
         # Degradation RNG keys off the iteration index: resume at
         # start_iter continues the synthetic stream instead of replaying
         # it from step 1, and the local counter is never shared across

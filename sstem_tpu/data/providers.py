@@ -78,6 +78,20 @@ class _ImageCache:
         return self._cache[name]
 
 
+def _load_pool(cache, name_rows, max_bytes):
+    """Stack rows of image names into (N, F, H, W) uint8, or None when the
+    shapes are non-uniform or the pool would exceed ``max_bytes``."""
+    shapes = {cache(n).shape for row in name_rows for n in row}
+    if len(shapes) != 1:
+        return None
+    (h, w), = shapes
+    f = len(name_rows[0])
+    if len(name_rows) * f * h * w > max_bytes:
+        return None
+    return np.stack([np.stack([cache(n) for n in row])
+                     for row in name_rows])
+
+
 class InterpTrainDataset:
     """SFF interpolation triplets -> ((H,W,6) input, (H,W,1) label)."""
 
@@ -88,6 +102,12 @@ class InterpTrainDataset:
             self.rows = [r.strip().split(" ") for r in f if r.strip()]
         self.patch_size = tuple(patch_size)
         self.aug = aug or AugConfig()
+
+    def load_pool(self, max_bytes=512 << 20):
+        """All triplets as one (N, 3, H, W) uint8 array for HBM-resident
+        on-device sampling (train.device_datagen.make_pool_interp_step), or
+        None when images are non-uniform / the pool exceeds ``max_bytes``."""
+        return _load_pool(self.cache, [r[:3] for r in self.rows], max_bytes)
 
     def sample(self, rng):
         a = self.aug
@@ -203,6 +223,13 @@ class RawCropPairDataset:
         self.crop_size = crop_size
         self.aug = aug or AugConfig()
 
+    def load_pool(self, max_bytes=512 << 20):
+        """(N, 2, H, W) uint8 clean+interp pool for on-device sampling
+        (train.device_datagen.make_pool_step), or None when images are
+        non-uniform / the pool exceeds ``max_bytes``."""
+        rows = [[r[1], i] for r, i in zip(self.rows, self.interp_rows)]
+        return _load_pool(self.cache, rows, max_bytes)
+
     def sample(self, rng):
         a = self.aug
         kk = rng.integers(0, len(self.rows))
@@ -215,7 +242,10 @@ class RawCropPairDataset:
         stack = np.stack([clean[i:i + c, j:j + c], interp[i:i + c, j:j + c]])
         stack = augment.dihedral(stack, rng, a.random_fliplr, a.random_flipud,
                                  a.random_flipz, a.random_rotation)
-        return stack[0].astype(np.float32), stack[1].astype(np.float32)
+        # uint8 on the wire: the devgen loss casts on device, and the
+        # host->TPU tunnel transfer is the step bottleneck at batch >= 16
+        # (4x smaller than float32; measured round 5)
+        return np.ascontiguousarray(stack[0]), np.ascontiguousarray(stack[1])
 
 
 class FusionTrainDataset(UnfoldingTrainDataset):
