@@ -171,9 +171,11 @@ def main():
     dev_stack = jnp.asarray(stack_p)
 
     # batch sizes above the cap fall back to sub-launches (batch 4 was
-    # the r2 sweet spot; r4's repro_batch8 sweep found the old "batch-8
-    # compile blowup" gone after the warp rework — PERFORMANCE.md).
-    # BENCH_MAX_COMPILED overrides the cap for batch A/Bs.
+    # the r2 sweet spot; the repro_batch8 compile matrix — committed in
+    # PERFORMANCE.md round 5 — shows the old "batch-8 compile blowup" is
+    # now a bounded ~6 min AOT compile, but batch 4 remains the
+    # throughput sweet spot). BENCH_MAX_COMPILED overrides the cap for
+    # batch A/Bs.
     COMPILED_BATCH = min(BATCH, int(os.environ.get("BENCH_MAX_COMPILED",
                                                    "4")))
 

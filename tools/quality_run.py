@@ -44,7 +44,18 @@ def main():
     parser.add_argument("--img-size", type=int, default=384)
     parser.add_argument("--patch", type=int, default=256)
     parser.add_argument("--batch", type=int, default=4)
+    # unfolding/fusion recipe: the reference trains these at base_lr 1e-4,
+    # batch 32 (sff_flowfusionnet_L1_lr0001decay.yaml /
+    # sff_fusion_L1_lr0001decay.yaml). Round 4's chain ran them at
+    # 1e-3 / batch 4 and the flow net plateaued at ~13 px EPE
+    # (tools/diagnose_fusion.py) — the fused<interp gap traced to that.
+    parser.add_argument("--batch-correction", type=int, default=16)
+    parser.add_argument("--lr-correction", type=float, default=1e-4)
     parser.add_argument("--stack-size", type=int, default=768)
+    parser.add_argument("--resume", action="store_true",
+                        help="continue the fusion stage from a prior "
+                             "*_q_fusion dir's checkpoints (same config "
+                             "and flow net only — not verified)")
     parser.add_argument("--out", default="SCORES.md")
     args = parser.parse_args()
 
@@ -121,7 +132,10 @@ def main():
     # 1) interp trainer
     if "interp_save" not in stage:
         cfg_i = write_cfg("q_interp", {}, {})
-        train_interp.main(["-c", cfg_i, "--max-iters", str(args.iters)])
+        iargs = ["-c", cfg_i, "--max-iters", str(args.iters)]
+        if args.device_datagen:
+            iargs.append("--device-datagen")
+        train_interp.main(iargs)
         done("interp_save", _latest_dir(models))
         done("cfg_i", cfg_i)
     cfg_i = stage["cfg_i"]
@@ -138,7 +152,9 @@ def main():
         cfg_u = write_cfg(
             "q_unfold",
             {"output_nc": 2, "total_iters": it_u, "decay_iters": it_u,
-             "valid_freq": it_u, "save_freq": it_u},
+             "valid_freq": it_u, "save_freq": min(8000, it_u),
+             "base_lr": args.lr_correction,
+             "batch_size": args.batch_correction},
             {"patch_size": [args.img_size, args.img_size],
              "det_size": args.patch,
              "interp_train_txt": "interp_train_data.txt",
@@ -163,6 +179,8 @@ def main():
              # outage (or a session deadline) still leaves an evaluable
              # checkpoint at the last 4k boundary
              "valid_freq": it_f, "save_freq": min(4000, it_f),
+             "base_lr": args.lr_correction,
+             "batch_size": args.batch_correction,
              "flownet_path": stage["unfold_save"],
              "flownet_id": os.path.basename(sorted(flow_ckpts)[-1])},
             {"patch_size": [args.img_size, args.img_size],
@@ -175,13 +193,17 @@ def main():
         if args.device_datagen:
             fargs.append("--device-datagen")
         # An interrupted fusion stage leaves 4k-boundary checkpoints in a
-        # previous timestamped save dir; continue from the newest one.
-        prior = [d for d in sorted(glob.glob(
-            os.path.join(models, "*_q_fusion")))
-            if glob.glob(os.path.join(d, "model-*.ckpt"))]
-        if prior:
-            fargs += ["--resume-from", prior[-1]]
-            print(f"resuming fusion stage from {prior[-1]}", flush=True)
+        # previous timestamped save dir; --resume opts in to continuing
+        # from the newest one. Off by default: auto-resuming across a
+        # config change or a retrained flow net would contaminate the
+        # SCORES claim (ADVICE r4).
+        if args.resume:
+            prior = [d for d in sorted(glob.glob(
+                os.path.join(models, "*_q_fusion")))
+                if glob.glob(os.path.join(d, "model-*.ckpt"))]
+            if prior:
+                fargs += ["--resume-from", prior[-1]]
+                print(f"resuming fusion stage from {prior[-1]}", flush=True)
         train_fusion.main(fargs)
         done("fusion_save", _latest_dir(models))
 
@@ -243,7 +265,9 @@ def main():
         f" unfolding {args.iters_unfold or args.iters} /"
         f" fusion {args.iters_fusion or args.iters} iters"
         f"{', device-datagen' if args.device_datagen else ''},"
-        f" K=51, ngf=32, patch {args.patch}^2, batch {args.batch})"
+        f" K=51, ngf=32, patch {args.patch}^2, batch {args.batch};"
+        f" unfolding/fusion at the reference recipe lr"
+        f" {args.lr_correction:g}, batch {args.batch_correction})"
         f" on {args.triplets} synthetic {args.img_size}^2 triplets;"
         f" restoration of 3 SimuSFF-degraded {hw}^2 sections of a fresh"
         " synthetic stack. Metrics: reference-exact compute_psnr /"
