@@ -178,7 +178,7 @@ def _band_call(imp, fx, fy, rbase, intervals, pw0, ph, w, win,
         functools.partial(_kernel, win, nlv, pw0, ph, w, nblk, n),
         grid=(n, nblk),
         in_specs=[smem_all((n, nblk)), smem_all((n, nblk, 4)),
-                  pl.BlockSpec(memory_space=pltpu.ANY),
+                  pl.BlockSpec(memory_space=pl.ANY),
                   vspec, vspec],
         out_specs=vspec,
         out_shape=jax.ShapeDtypeStruct((n, h, pw), jnp.float32),
