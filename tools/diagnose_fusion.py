@@ -185,6 +185,26 @@ def main():
                                   fused_off_strip=psnr01(gtc, img, ~unknown)))
         report["curve"] = curve
 
+        # flow EPE + off-strip warped PSNR vs unfolding iters (the
+        # unfolding stage saves 8k-boundary checkpoints): localizes
+        # WHEN the flow net becomes usable, per DIAGNOSIS.md finding 1
+        curve_u = []
+        models_root = os.path.dirname(stage["unfold_save"])
+        for d in sorted(glob.glob(os.path.join(models_root, "*_q_unfold"))):
+            for ck in sorted(glob.glob(os.path.join(d, "model-*.ckpt"))):
+                step = int(os.path.basename(ck).split("-")[1].split(".")[0])
+                fv = load_model_variables(ck, "fusionnet")
+                fl, _ = flows_fn(fv, x6)
+                e = np.linalg.norm(np.asarray(fl) - np.asarray(flow_gt),
+                                   axis=-1)
+                w = np.asarray(jnp.clip(warp1(fl)[..., 0], 0, 1)) * 255.0
+                curve_u.append(dict(
+                    dir=os.path.basename(d), iters=step,
+                    epe=float(e.mean()),
+                    epe_off_strip=float(e[~unknown].mean()),
+                    warped_off_strip_psnr=psnr01(gtc, w, ~unknown)))
+        report["curve_unfold"] = curve_u
+
     print(json.dumps(report, indent=1))
     if args.out:
         json.dump(report, open(args.out, "w"), indent=1)
