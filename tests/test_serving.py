@@ -87,6 +87,40 @@ def test_ifnet_serve_matches_flax():
     assert nrmse < 0.05, f"NRMSE {nrmse:.4f}"
 
 
+def test_ifnet_serve_two_frame():
+    """2-frame (SP VFI) ifnet_serve vs the flax IFNet at serving dtype.
+
+    Covers bench_sp.py's serving path: 2-channel gray-pair input, 8 head
+    tails (head{1,2}{v,h}_f{1,2}), two sepconv frames out
+    (sp_scripts_train/networks.py:105-129 semantics)."""
+    from sstem_tpu.models import IFNet
+    from sstem_tpu.models.serving import ifnet_serve
+
+    k = 11
+    model = IFNet(kernel_size=k, n_frames=2)
+    key = jax.random.PRNGKey(9)
+    variables = jax.jit(model.init)(key, jnp.zeros((1, 64, 64, 6),
+                                                   jnp.float32))
+    g = RNG.random((2, 1, 64, 64, 1)).astype(np.float32)
+    x6 = jnp.asarray(np.concatenate(
+        [np.repeat(g[0], 3, -1), np.repeat(g[1], 3, -1)], -1))
+    x2 = jnp.asarray(np.concatenate([g[0], g[1]], -1))
+    import sstem_tpu.config as cfg
+
+    cfg.set_compute_dtype("bfloat16")
+    try:
+        want = model.apply(variables, x6)
+    finally:
+        cfg.set_compute_dtype(None)
+    got = ifnet_serve(variables, x2, kernel_size=k, n_frames=2,
+                      interpret=True)
+    assert got.shape == want.shape == (1, 64, 64, 2)
+    got = np.asarray(got, np.float32)
+    want = np.asarray(want, np.float32)
+    nrmse = float(np.sqrt(np.mean((got - want) ** 2)) / (want.std() + 1e-6))
+    assert nrmse < 0.05, f"NRMSE {nrmse:.4f}"
+
+
 def test_ifnet_serve_gray_pair_input():
     """2-channel gray-pair input == 6-channel replicated input.
 
