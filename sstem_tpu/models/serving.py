@@ -16,6 +16,8 @@ Reference semantics served: FusionNet
 UNet (sff_scripts_fusion/model/model_unet.py:6-105).
 """
 
+import os
+
 import jax.numpy as jnp
 from jax import lax
 
@@ -444,7 +446,7 @@ def ifnet_serve(variables, x, kernel_size=51, n_frames=1, assume_gray=True,
     padded_i1 = jnp.transpose(padded_i1, (0, 3, 1, 2))
     padded_i2 = jnp.transpose(padded_i2, (0, 3, 1, 2))
 
-    def head(hp):
+    def head_half(hp):
         hq = featq
         for name in ("conv0", "conv1"):
             rr, ss, hh = _packed_conv_args(hp[name]["Conv_0"], None, None, 64)
@@ -453,13 +455,15 @@ def ifnet_serve(variables, x, kernel_size=51, n_frames=1, assume_gray=True,
         rr, ss, hh = _packed_conv_args(hp["conv2"]["Conv_0"], None, None, 64)
         hq = conv3x3_packed(hq, rr, ss, hh, "relu", wq=wq2x,
                             interpret=interpret)
+        return unpack_nhwc(hq, 64, w // 2)[..., :kernel_size]
+
+    def head(hp):
         # planar tail: (N, K, H/2, W/2) -> upsample -> conv3 (NCHW).
         # A fused packed upsample+conv3 alternative (r3-r4
         # kernels/upconv3x3.py) was hardware-A/B'd on 2026-08-18 and
         # LOST: 16.43 vs 13.20 ms/section/head (PERFORMANCE.md round-4);
         # it was deleted per VERDICT r3 item 6.
-        hmap = unpack_nhwc(hq, 64, w // 2)[..., :kernel_size]
-        hp_pl = jnp.transpose(hmap, (0, 3, 1, 2))
+        hp_pl = jnp.transpose(head_half(hp), (0, 3, 1, 2))
         w3 = hp["conv3"]["Conv_0"]["kernel"].astype(_BF)
         b3 = hp["conv3"]["Conv_0"]["bias"].astype(_BF)
         hp_pl = upsample2x_planar_mxu(hp_pl, precision=matmul_precision())
@@ -469,13 +473,46 @@ def ifnet_serve(variables, x, kernel_size=51, n_frames=1, assume_gray=True,
             precision=matmul_precision())
         return y + b3[None, :, None, None]
 
-    outs = []
+    def batched_tails(hps):
+        """ALL head tails as ONE upsample + ONE grouped conv3.
+
+        The per-head XLA conv3 (K~51 channels at full res) runs in the
+        rig's worst conv regime (~30-45 GB/s effective; small-channel
+        full-res convs as low as ~6 GB/s — PERFORMANCE.md). Stacking the
+        G heads channel-wise and using feature_group_count=G keeps each
+        head's weights separate (group g reads input channels
+        [g*K:(g+1)*K] and writes output channels [g*K:(g+1)*K]) while
+        giving XLA one G*K-channel conv + one upsample einsum pair
+        instead of G small ones. Bit-identical math to head()."""
+        k = kernel_size
+        maps = jnp.concatenate([head_half(hp) for hp in hps], axis=-1)
+        pl = jnp.transpose(maps, (0, 3, 1, 2))
+        pl = upsample2x_planar_mxu(pl, precision=matmul_precision())
+        w3 = jnp.concatenate(
+            [hp["conv3"]["Conv_0"]["kernel"] for hp in hps],
+            axis=-1).astype(_BF)
+        b3 = jnp.concatenate(
+            [hp["conv3"]["Conv_0"]["bias"] for hp in hps]).astype(_BF)
+        y = lax.conv_general_dilated(
+            pl, w3, (1, 1), [(1, 1)] * 2,
+            dimension_numbers=("NCHW", "HWIO", "NCHW"),
+            feature_group_count=len(hps), precision=matmul_precision())
+        y = y + b3[None, :, None, None]
+        return [y[:, g * k:(g + 1) * k] for g in range(len(hps))]
+
+    head_names = []
     for f in range(n_frames):
         sfx = "" if n_frames == 1 else f"_f{f + 1}"
-        k2h = head(p[f"head2h{sfx}"])
-        k2v = head(p[f"head2v{sfx}"])
-        k1h = head(p[f"head1h{sfx}"])
-        k1v = head(p[f"head1v{sfx}"])
+        head_names += [f"head2h{sfx}", f"head2v{sfx}",
+                       f"head1h{sfx}", f"head1v{sfx}"]
+    if os.environ.get("SSTEM_BATCHED_HEAD_TAIL", "0") == "1":
+        tails = batched_tails([p[nm] for nm in head_names])
+    else:
+        tails = [head(p[nm]) for nm in head_names]
+
+    outs = []
+    for f in range(n_frames):
+        k2h, k2v, k1h, k1v = tails[4 * f:4 * f + 4]
         y = sepconv_planar(padded_i2, k2v, k2h) + sepconv_planar(
             padded_i1, k1v, k1h)
         y = jnp.transpose(y, (0, 2, 3, 1))

@@ -222,3 +222,25 @@ def test_gray_pair_fold_exact():
     np.testing.assert_allclose(np.asarray(y2, np.float32),
                                np.asarray(y6, np.float32),
                                atol=0.02, rtol=0.05)
+
+
+def test_ifnet_serve_batched_head_tail(monkeypatch):
+    """SSTEM_BATCHED_HEAD_TAIL=1 (one grouped conv3 for all head tails)
+    matches the per-head path: same math, different op batching."""
+    from sstem_tpu.models import IFNet
+    from sstem_tpu.models.serving import ifnet_serve
+
+    k = 11
+    model = IFNet(kernel_size=k, n_frames=1)
+    key = jax.random.PRNGKey(3)
+    variables = jax.jit(model.init)(key, jnp.zeros((1, 64, 64, 6),
+                                                   jnp.float32))
+    g = RNG.random((2, 1, 64, 64, 1)).astype(np.float32)
+    x2 = jnp.asarray(np.concatenate([g[0], g[1]], -1))
+    monkeypatch.delenv("SSTEM_BATCHED_HEAD_TAIL", raising=False)
+    want = np.asarray(ifnet_serve(variables, x2, kernel_size=k,
+                                  interpret=True), np.float32)
+    monkeypatch.setenv("SSTEM_BATCHED_HEAD_TAIL", "1")
+    got = np.asarray(ifnet_serve(variables, x2, kernel_size=k,
+                                 interpret=True), np.float32)
+    np.testing.assert_allclose(got, want, atol=2e-3, rtol=0.02)
