@@ -207,15 +207,23 @@ class SFFPipeline:
         pred = jnp.clip(pred[:, :h, :w, 0], 0.0, 1.0)
         flow = flow[:, :h, :w, :]
         warped_g = jnp.clip(jnp.mean(warped[:, :h, :w, :], axis=-1), 0.0, 1.0)
-        # stitching composite at uint8 scale (inference.py:167-171)
+        # stitching composite at uint8 scale (inference.py:167-171).
+        # Compose at 255-scale with NO /255*255 round trip: f32 x/255*255
+        # lands just below the integer about half the time, so a floor by
+        # the consumer would drop a level (stitch != its own warped at
+        # m=1 pixels — caught by tools/verify_drive.py scanned-vs-loop).
+        # The returned value centers each level at (k+0.5)/255 so any
+        # downstream floor(x*255) recovers k exactly.
         w8 = jnp.floor(warped_g * 255.0)
-        m = (w8 >= 2).astype(jnp.float32)
-        stitch = _to01(jnp.asarray(interp_imgs)) * 255.0 * (1 - m) + w8 * m
+        m = w8 >= 2
+        i255 = jnp.asarray(interp_imgs, jnp.float32)
+        i8 = jnp.floor(jnp.clip(i255, 0.0, 255.0))
+        stitch8 = jnp.where(m, w8, i8)
         return {
             "fused": pred,
             "flow": flow,
             "warped": warped_g,
-            "stitch": stitch / 255.0,
+            "stitch": (stitch8 + 0.5) / 255.0,
         }
 
     # largest batch compiled as one launch: the batch-size sweep
@@ -399,13 +407,14 @@ class SFFPipeline:
                 warped = np.clip(out[j, ..., 2], 0, 1)
                 flow = out[j, ..., 3:5]
                 w8 = np.floor(warped * 255.0)
-                m = (w8 >= 2).astype(np.float32)
-                stitch = interp * 255.0 * (1 - m) + w8 * m
+                m = w8 >= 2
+                i8 = np.floor(interp * 255.0)
+                stitch = np.where(m, w8, i8)
                 results[i] = {
-                    "interp": np.floor(interp * 255).astype(np.uint8),
+                    "interp": i8.astype(np.uint8),
                     "fused": np.floor(fused * 255).astype(np.uint8),
-                    "warped": np.floor(warped * 255).astype(np.uint8),
-                    "stitch": np.floor(stitch).astype(np.uint8),
+                    "warped": w8.astype(np.uint8),
+                    "stitch": stitch.astype(np.uint8),
                     "flow": flow,
                 }
         return results

@@ -68,7 +68,16 @@ def sepconv_reference(image, vertical, horizontal):
 
     Autodiff-correct out of the box (including the true input gradient);
     serves as the numerical oracle for the Pallas kernel.
+
+    Accumulates in float32 and casts back to the image dtype at exit — the
+    same contract as the Pallas kernel — so bf16 serving inputs don't pay
+    K*K=2601 taps of bf16 rounding in the "oracle" side (the source of the
+    r5 verify-drive divergence on trained checkpoints).
     """
+    out_dtype = image.dtype
+    image = image.astype(jnp.float32)
+    vertical = vertical.astype(jnp.float32)
+    horizontal = horizontal.astype(jnp.float32)
     n, hp, wp, c = image.shape
     k = vertical.shape[-1]
     ho, wo = hp - k + 1, wp - k + 1
@@ -82,15 +91,23 @@ def sepconv_reference(image, vertical, horizontal):
             h_v = lax.dynamic_slice_in_dim(horizontal, v, 1, axis=3)
             return hacc + im_uv * h_v, None
 
-        b, _ = lax.scan(v_body, jnp.zeros((n, ho, wo, c), image.dtype), jnp.arange(k))
+        b, _ = lax.scan(v_body, jnp.zeros((n, ho, wo, c), jnp.float32), jnp.arange(k))
         return acc + v_u * b, None
 
-    out, _ = lax.scan(u_body, jnp.zeros((n, ho, wo, c), image.dtype), jnp.arange(k))
-    return out
+    out, _ = lax.scan(u_body, jnp.zeros((n, ho, wo, c), jnp.float32), jnp.arange(k))
+    return out.astype(out_dtype)
 
 
 def sepconv_reference_planar(image, vertical, horizontal):
-    """Planar XLA oracle. image (N,C,Hp,Wp); maps (N,K,H,W) -> (N,C,H,W)."""
+    """Planar XLA oracle. image (N,C,Hp,Wp); maps (N,K,H,W) -> (N,C,H,W).
+
+    f32 accumulation + cast-back, matching the Pallas kernel contract
+    (see sepconv_reference).
+    """
+    out_dtype = image.dtype
+    image = image.astype(jnp.float32)
+    vertical = vertical.astype(jnp.float32)
+    horizontal = horizontal.astype(jnp.float32)
     n, c, hp, wp = image.shape
     k = vertical.shape[1]
     ho, wo = hp - k + 1, wp - k + 1
@@ -104,11 +121,11 @@ def sepconv_reference_planar(image, vertical, horizontal):
             h_v = lax.dynamic_slice_in_dim(horizontal, v, 1, axis=1)
             return hacc + im_uv * h_v, None
 
-        b, _ = lax.scan(v_body, jnp.zeros((n, c, ho, wo), image.dtype), jnp.arange(k))
+        b, _ = lax.scan(v_body, jnp.zeros((n, c, ho, wo), jnp.float32), jnp.arange(k))
         return acc + v_u * b, None
 
-    out, _ = lax.scan(u_body, jnp.zeros((n, c, ho, wo), image.dtype), jnp.arange(k))
-    return out
+    out, _ = lax.scan(u_body, jnp.zeros((n, c, ho, wo), jnp.float32), jnp.arange(k))
+    return out.astype(out_dtype)
 
 
 def _bwd_xla(image, vertical, horizontal, g):

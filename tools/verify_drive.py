@@ -92,15 +92,28 @@ def main():
         for k in ("interp", "fused", "warped", "stitch"):
             d = np.abs(scn[sid][k].astype(np.int16)
                        - ref[sid][k].astype(np.int16))
-            print(f"scanned vs loop section {sid} {k}: max delta "
-                  f"{int(d.max())} (frac>1: {(d > 1).mean():.2e})",
-                  flush=True)
+            frac = (d > 1).mean()
+            if k == "stitch":
+                # stitch = interp*(1-m)+warped*m with m = warped>=2
+                # (inference.py:167-171): a +-1-level warped delta at the
+                # threshold flips m and swaps interp<->warped wholesale.
+                # Count only mismatches NOT explained by such a flip.
+                ws = scn[sid]["warped"].astype(np.int16)
+                wr = ref[sid]["warped"].astype(np.int16)
+                flip = ((ws >= 2) != (wr >= 2)) & (np.abs(ws - wr) <= 2)
+                frac = ((d > 1) & ~flip).mean()
+                print(f"scanned vs loop section {sid} stitch: max delta "
+                      f"{int(d.max())} (frac>1: {(d > 1).mean():.2e}, "
+                      f"unexplained: {frac:.2e})", flush=True)
+            else:
+                print(f"scanned vs loop section {sid} {k}: max delta "
+                      f"{int(d.max())} (frac>1: {frac:.2e})", flush=True)
             # interp: reassociation between the two programs flips
             # saturated pixels at random init; fused/stitch additionally
             # have the odd-size border-band regime (pipeline docstring)
             tol = interp_tol if k == "interp" else (
                 1e-2 if trained else 2e-2)
-            if (d > 1).mean() > tol:
+            if frac > tol:
                 bad += 1
 
     # SP pipeline: packed serving vs flax path on TPU
