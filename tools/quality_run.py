@@ -51,6 +51,12 @@ def main():
     # (tools/diagnose_fusion.py) — the fused<interp gap traced to that.
     parser.add_argument("--batch-correction", type=int, default=16)
     parser.add_argument("--lr-correction", type=float, default=1e-4)
+    # The fusion U-Net is NOT lr-fragile the way the flow net is: the r4
+    # chain's U-Net at lr 1e-3 learned warped-channel passthrough (24.81 dB
+    # off-strip on the GT-flow probe) in 24k iters where the reference-lr
+    # (1e-4) v2 U-Net reached only 21.82 in 16k (DIAGNOSIS.md). Default
+    # None = follow --lr-correction (the reference recipe).
+    parser.add_argument("--lr-fusion", type=float, default=None)
     parser.add_argument("--stack-size", type=int, default=768)
     parser.add_argument("--resume", action="store_true",
                         help="continue the fusion stage from a prior "
@@ -179,7 +185,8 @@ def main():
              # outage (or a session deadline) still leaves an evaluable
              # checkpoint at the last 4k boundary
              "valid_freq": it_f, "save_freq": min(4000, it_f),
-             "base_lr": args.lr_correction,
+             "base_lr": (args.lr_fusion if args.lr_fusion is not None
+                         else args.lr_correction),
              "batch_size": args.batch_correction,
              "flownet_path": stage["unfold_save"],
              "flownet_id": os.path.basename(sorted(flow_ckpts)[-1])},
@@ -266,8 +273,10 @@ def main():
         f" fusion {args.iters_fusion or args.iters} iters"
         f"{', device-datagen' if args.device_datagen else ''},"
         f" K=51, ngf=32, patch {args.patch}^2, batch {args.batch};"
-        f" unfolding/fusion at the reference recipe lr"
-        f" {args.lr_correction:g}, batch {args.batch_correction})"
+        f" unfolding at the reference recipe lr"
+        f" {args.lr_correction:g}, fusion at lr"
+        f" {(args.lr_fusion if args.lr_fusion is not None else args.lr_correction):g},"
+        f" batch {args.batch_correction})"
         f" on {args.triplets} synthetic {args.img_size}^2 triplets;"
         f" restoration of 3 SimuSFF-degraded {hw}^2 sections of a fresh"
         " synthetic stack. Metrics: reference-exact compute_psnr /"
