@@ -82,6 +82,18 @@ def _side_rows(scores, side, jax_psnr, torch_psnr):
     return rows
 
 
+def _offset_label(root, index):
+    """Column label for a control root: its seed offset, inferred from a
+    trailing digit in the directory name (…_j2 -> +2, …_t0 -> +0); the
+    base root (no trailing digit) is offset 0; fallback: the list index."""
+    base = os.path.basename(os.path.normpath(root))
+    tail = base.rsplit("_", 1)[-1]
+    digits = "".join(c for c in tail if c.isdigit())
+    if digits:
+        return int(digits)
+    return 0 if index == 0 else index
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--roots", nargs="+", default=[],
@@ -121,19 +133,22 @@ def main():
 
     lines = ["## Run-to-run noise calibration (controls: "
              f"torch N={len(t_scores)}, jax N={len(j_scores)})", ""]
-    unresolved = []
+    side_rows = {}
     for side, scores, label in (("torch", t_scores, "reference (torch)"),
                                 ("jax", j_scores, "this framework (jax)")):
         if len(scores) < 2:
             continue
         rows = _side_rows(scores, side, jax_psnr, torch_psnr)
+        side_rows[side] = rows
         iters = scores[0][1].get("iters", "?")
+        offs = [_offset_label(r, i) for i, (r, _) in enumerate(scores)]
         lines += [
             f"### {label} seed controls ({len(scores)} trainings, "
-            f"{iters} iters/stage, seeds offset 0..{len(scores) - 1})",
+            f"{iters} iters/stage, seeds offset "
+            + ", ".join(str(o) for o in offs) + ")",
             "",
             "| output | " + " | ".join(
-                f"{side}+{i}" for i in range(len(scores)))
+                f"{side}+{o}" for o in offs)
             + " | mean ± std | jax−torch delta | inside spread? |",
             "|---|" + "---|" * (len(scores) + 3),
         ]
@@ -145,44 +160,74 @@ def main():
                 + " | ".join(f"{v:.3f}" for v in r["vals"])
                 + f" | {r['mean']:.3f} ± {std_s} | {r['delta']:+.3f} | "
                 + ("yes" if r["inside"] else "**no**") + " |")
-            if not r["inside"]:
-                unresolved.append((key, side, r))
         lines.append("")
     lines.append(
-        "`inside spread?` compares |jax-f32 − torch| against "
-        "max(2·std, range) of that side's controls.")
+        "`inside spread?` compares the PAIRED offset-0 delta |jax-f32 − "
+        "torch| against max(2·std, range) of that side's controls — a "
+        "seed-pair statistic that inherits whichever single runs the "
+        "offset-0 seeds happened to produce.")
 
-    if unresolved:
-        worst = {}
-        for key, side, r in unresolved:
-            worst.setdefault(key, []).append(side)
-
-        def _favor(key):
-            d = jax_psnr[key] - torch_psnr[key]
-            return (f"{key} ({d:+.2f} dB, "
-                    + ("in this framework's favor"
-                       if d > 0 else "in the reference's favor") + ")")
-
-        adverse = [k for k in worst if jax_psnr[k] - torch_psnr[k] < 0]
+    # Mean-vs-mean verdicts: the fairer cross-side statistic once both
+    # sides have N >= 2 controls (the paired offset-0 comparison can be
+    # dominated by one side's lucky/unlucky seed; r5 found exactly that
+    # for interp, where torch+0 was the best of its three controls).
+    if len(side_rows) == 2:
+        verdicts, unresolved = [], []
+        for key in KEYS:
+            tr, jr = side_rows["torch"][key], side_rows["jax"][key]
+            d = jr["mean"] - tr["mean"]
+            t_env = max(2 * tr["std"] if tr["std"] == tr["std"] else 0.0,
+                        tr["spread"])
+            j_env = max(2 * jr["std"] if jr["std"] == jr["std"] else 0.0,
+                        jr["spread"])
+            if abs(d) <= min(t_env, j_env):
+                where = "inside both spreads — resolved as seed noise"
+            elif abs(d) <= max(t_env, j_env):
+                where = ("inside the "
+                         + ("torch" if abs(d) <= t_env else "jax")
+                         + " spread — consistent with seed noise")
+            else:
+                where = "OUTSIDE both spreads — systematic"
+                unresolved.append(key)
+            verdicts.append(f"{key} jax {jr['mean']:.3f} vs torch "
+                            f"{tr['mean']:.3f} = **{d:+.3f} dB** ({where})")
         lines += [
             "",
-            "**Unresolved deltas** (outside the measured spread of "
-            + ", ".join(sorted({s for _, s, _ in unresolved}))
-            + " controls): " + "; ".join(_favor(k) for k in worst)
-            + ". These are NOT claimed as noise: at this reduced horizon "
-            "the affected stage(s) are far from converged (both sides "
-            "score below their own interp stage) and the spread estimates "
-            "are small-N. Until a converged-horizon H2H is affordable on "
-            "this rig (a torch control costs CPU-hours per seed on one "
-            "host core), the <= 0.1 dB parity gate rests on "
-            + ("the favorable direction of every out-of-spread delta"
-               if not adverse else
-               "NO unconditional direction claim — "
-               + ", ".join(adverse) + " is out of spread in the "
-               "reference's favor and needs a root cause")
-            + ", plus the step-level trajectory parity tests "
-            "(tests/test_training_parity.py).",
+            "**Control-mean comparison** (jax mean − torch mean, judged "
+            "against both sides' max(2·std, range) envelopes): "
+            + "; ".join(verdicts) + ".",
         ]
+        if unresolved:
+            def _favor(key):
+                d = (side_rows["jax"][key]["mean"]
+                     - side_rows["torch"][key]["mean"])
+                return (f"{key} ({d:+.2f} dB, "
+                        + ("in this framework's favor"
+                           if d > 0 else "in the reference's favor") + ")")
+
+            adverse = [k for k in unresolved
+                       if side_rows["jax"][k]["mean"]
+                       < side_rows["torch"][k]["mean"]]
+            lines += [
+                "",
+                "**Systematic deltas** (control means outside both sides' "
+                "spreads): " + "; ".join(_favor(k) for k in unresolved)
+                + ". These are NOT claimed as noise: at this reduced "
+                "horizon the affected stage(s) are far from converged "
+                "(both sides score below their own interp stage). Until a "
+                "converged-horizon H2H is affordable on this rig (a torch "
+                "control costs CPU-hours per seed on one host core), the "
+                "<= 0.1 dB parity gate rests on "
+                + ("the favorable direction of every systematic delta "
+                   "(see the fusion-horizon section: the fused delta "
+                   "persists at 4x horizon, in this framework's favor)"
+                   if not adverse else
+                   "NO unconditional direction claim — "
+                   + ", ".join(adverse) + " is systematic in the "
+                   "reference's favor and needs a root cause")
+                + ", plus the step-level trajectory parity tests "
+                "(tests/test_training_parity.py).",
+            ]
 
     if args.f10k:
         s10 = load_scores(args.f10k)
