@@ -119,10 +119,15 @@ def _h_taps(hi_rows: int, ty: int):
     wb = np.zeros(ho + 2, np.float32)
     for s in range(ho + 2):
         y = s - 1
-        if y < 0 or y >= ho:
-            lo[s] = 0
+        oob = y < 0 or y >= ho
+        # zero-weighted halo rows still contribute to the per-block window
+        # span computation: clamp them onto the nearest REAL row's base so
+        # the last block's window isn't dragged back to row 0.
+        yc = min(max(y, 0), ho - 1)
+        base = min(int(lo_t[yc]), hi_rows - 2)
+        if oob:
+            lo[s] = base
             continue
-        base = min(int(lo_t[y]), hi_rows - 2)
         for row, wgt in ((int(lo_t[y]), 1.0 - float(frac[y])),
                          (int(hi_t[y]), float(frac[y]))):
             if row == base:

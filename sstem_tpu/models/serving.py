@@ -446,7 +446,7 @@ def ifnet_serve(variables, x, kernel_size=51, n_frames=1, assume_gray=True,
     padded_i1 = jnp.transpose(padded_i1, (0, 3, 1, 2))
     padded_i2 = jnp.transpose(padded_i2, (0, 3, 1, 2))
 
-    def head_half(hp):
+    def head_half(hp, full64=False):
         hq = featq
         for name in ("conv0", "conv1"):
             rr, ss, hh = _packed_conv_args(hp[name]["Conv_0"], None, None, 64)
@@ -455,7 +455,10 @@ def ifnet_serve(variables, x, kernel_size=51, n_frames=1, assume_gray=True,
         rr, ss, hh = _packed_conv_args(hp["conv2"]["Conv_0"], None, None, 64)
         hq = conv3x3_packed(hq, rr, ss, hh, "relu", wq=wq2x,
                             interpret=interpret)
-        return unpack_nhwc(hq, 64, w // 2)[..., :kernel_size]
+        half = unpack_nhwc(hq, 64, w // 2)
+        # channels >= kernel_size are exactly zero: the packed conv2 pads
+        # its weights/bias with zeros and relu(0) == 0.
+        return half if full64 else half[..., :kernel_size]
 
     def head(hp):
         # planar tail: (N, K, H/2, W/2) -> upsample -> conv3 (NCHW).
@@ -500,12 +503,29 @@ def ifnet_serve(variables, x, kernel_size=51, n_frames=1, assume_gray=True,
         y = y + b3[None, :, None, None]
         return [y[:, g * k:(g + 1) * k] for g in range(len(hps))]
 
+    def head_fused(hp):
+        """Pallas phase-decomposed upsample+conv3 (kernels/head_tail.py):
+        the half-res features go channels-in-sublanes, the tail runs as 6
+        MXU matmuls per row block, and the phase-planar maps are de-phased
+        by one fused XLA copy. Exactness vs head() is gated on hardware
+        (tools/tpu_checks.py)."""
+        from sstem_tpu.kernels.head_tail import (dephase_transpose,
+                                                 head_tail_fused)
+        hx = jnp.transpose(head_half(hp, full64=True), (0, 1, 3, 2))
+        w3 = hp["conv3"]["Conv_0"]["kernel"]
+        b3 = hp["conv3"]["Conv_0"]["bias"]
+        m = head_tail_fused(hx.astype(_BF), w3, b3, interpret=interpret)
+        return dephase_transpose(m, w // 2)
+
     head_names = []
     for f in range(n_frames):
         sfx = "" if n_frames == 1 else f"_f{f + 1}"
         head_names += [f"head2h{sfx}", f"head2v{sfx}",
                        f"head1h{sfx}", f"head1v{sfx}"]
-    if os.environ.get("SSTEM_BATCHED_HEAD_TAIL", "0") == "1":
+    fused_ok = (w // 2) % 128 == 0 and (h // 2) % 4 == 0
+    if os.environ.get("SSTEM_FUSED_HEAD_TAIL", "0") == "1" and fused_ok:
+        tails = [head_fused(p[nm]) for nm in head_names]
+    elif os.environ.get("SSTEM_BATCHED_HEAD_TAIL", "0") == "1":
         tails = batched_tails([p[nm] for nm in head_names])
     else:
         tails = [head(p[nm]) for nm in head_names]

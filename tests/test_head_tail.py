@@ -30,6 +30,8 @@ def _case(n, hi, wi, cin, k):
         (1, 12, 256, 51, 51),   # non-pow2 rows, 2 lane tiles
         (1, 16, 128, 13, 13),   # H2H geometry (K=13)
         (1, 8, 128, 64, 64),    # full-width channels
+        (1, 32, 128, 51, 51),   # hi >= 32: last-block window must not
+                                # snap to row 0 (OOB-halo lo clamp)
     ],
 )
 def test_fused_matches_oracle(n, hi, wi, cin, k):

@@ -244,3 +244,32 @@ def test_ifnet_serve_batched_head_tail(monkeypatch):
     got = np.asarray(ifnet_serve(variables, x2, kernel_size=k,
                                  interpret=True), np.float32)
     np.testing.assert_allclose(got, want, atol=2e-3, rtol=0.02)
+
+
+def test_ifnet_serve_fused_head_tail(monkeypatch):
+    """SSTEM_FUSED_HEAD_TAIL=1 (Pallas phase-decomposed upsample+conv3,
+    kernels/head_tail.py) matches the per-head XLA path. Needs
+    (w//2) % 128 == 0, hence the 256-wide input."""
+    from sstem_tpu.models import IFNet
+    from sstem_tpu.models.serving import ifnet_serve
+
+    k = 11
+    model = IFNet(kernel_size=k, n_frames=1)
+    key = jax.random.PRNGKey(4)
+    variables = jax.jit(model.init)(key, jnp.zeros((1, 64, 256, 6),
+                                                   jnp.float32))
+    g = RNG.random((2, 1, 64, 256, 1)).astype(np.float32)
+    x2 = jnp.asarray(np.concatenate([g[0], g[1]], -1))
+    monkeypatch.delenv("SSTEM_FUSED_HEAD_TAIL", raising=False)
+    want = np.asarray(ifnet_serve(variables, x2, kernel_size=k,
+                                  interpret=True), np.float32)
+    monkeypatch.setenv("SSTEM_FUSED_HEAD_TAIL", "1")
+    got = np.asarray(ifnet_serve(variables, x2, kernel_size=k,
+                                 interpret=True), np.float32)
+    # The fused tail is NOT bit-identical to the XLA tail (bf16 staging,
+    # different matmul blocking), and the 2*K^2-tap sepconv amplifies
+    # independent rounding; per-head maps agree with the f32 oracle to
+    # <0.7% (test_head_tail.py). Structural bugs (wrong phase, shifted
+    # tap, mis-blocked weights) produce order-one NRMSE here.
+    nrmse = float(np.sqrt(np.mean((got - want) ** 2)) / (want.std() + 1e-6))
+    assert nrmse < 0.02, f"NRMSE {nrmse:.4f}"

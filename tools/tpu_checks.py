@@ -148,6 +148,24 @@ def run_checks():
            jnp.max(jnp.abs(y.astype(jnp.float32) - ref)), 1e-2)
 
 
+    # --- fused head tail (upsample2x + conv3) vs the XLA serving oracle ---
+    from sstem_tpu.kernels.head_tail import (
+        dephase_transpose, head_tail_fused, head_tail_oracle)
+
+    k = 51
+    xh = rng.standard_normal((1, 640, 64, 640)).astype(np.float32)
+    xh[:, :, k:, :] = 0.0
+    w3 = jnp.asarray(rng.standard_normal((3, 3, k, k)) * 0.05, jnp.float32)
+    b3 = jnp.asarray(rng.standard_normal((k,)) * 0.1, jnp.float32)
+    xj = jnp.asarray(xh)
+    got = jax.jit(lambda a, b, c: dephase_transpose(
+        head_tail_fused(a, b, c), 640))(xj, w3, b3)
+    ref = jax.jit(lambda a, b, c: head_tail_oracle(
+        a, b, c, precision="highest"))(xj, w3, b3)
+    scale = float(jnp.max(jnp.abs(ref))) + 1e-6
+    record("head_tail_fused_640_k51",
+           jnp.max(jnp.abs(got.astype(jnp.float32) - ref)) / scale, 2e-2)
+
     results["all_ok"] = all(
         v["ok"] for v in results.values() if isinstance(v, dict))
     return results
